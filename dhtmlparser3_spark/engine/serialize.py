@@ -1,0 +1,219 @@
+"""Serialization folds over the Arena — byte-identical to the reference.
+
+Maps to reference operators (SURVEY.md §2.5):
+
+* ``content_str``            — Tag.content_str   (tag.py:173-190)  [X1]
+* ``to_string``              — Tag.to_string     (tag.py:127-146)  [X2]
+* ``tag_to_str``             — Tag.tag_to_str    (tag.py:148-158)  [X3]
+* ``content_without_tags``   — tag.py:75-88                        [X6]
+* ``prettify``               — tag.py:422-478                      [X7]
+* ``comment_to_string``      — tags/comment.py:5-9                 [X8]
+* ``escape_quote``           — quoter.py:6-30                      [X5]
+
+Byte-identity traps honoured:
+
+* text children are ``html.escape``-d (quote=True → also ``'``→``&#x27;``)
+  inside to_string, EXCEPT under ``style``/``script`` (tag.py:23,133-135),
+* ``content_str`` keeps *top-level* strings raw (escape=False default) while
+  nested text is re-escaped via the child's to_string (tag.py:181-188),
+* attribute values escape ONLY ``"``→``&quot;`` (quoter.py:6-30),
+* bare/empty-valued attributes render as the bare key (tag.py:166-169),
+* a non-pair tag renders ``<name ... />`` (tag.py:155-156), an empty name
+  renders to nothing (tag.py:152-153),
+* whitespace-only comments render ``<!-- -->`` (comment.py:5-9).
+
+``to_string``/``content_str``/``content_without_tags`` are *iterative*
+(explicit work stack): Common-Crawl junk HTML nests deeper than CPython's
+recursion limit; the reference would RecursionError there, we do not (the
+outputs are identical on anything the reference can parse).
+"""
+
+from __future__ import annotations
+
+import html
+from typing import List, Optional
+
+from dhtmlparser3_spark.engine.dom import Arena
+from dhtmlparser3_spark.engine.lexer import COMMENT, TAG, TEXT
+
+_DONT_ESCAPE = {"style", "script"}  # tag.py:23
+_DONT_FORMAT = {"pre", "style", "script"}  # tag.py:24
+
+
+def escape_quote(value: str) -> str:
+    """quoter.escape — '"' → '&quot;' and nothing else."""
+    return value.replace('"', "&quot;")
+
+
+def comment_to_string(content: str) -> str:
+    if not content.strip():
+        return "<!-- -->"
+    return f"<!--{content}-->"
+
+
+def params_to_str(attrs) -> str:
+    """tag.py:160-171 — insertion order, falsy value → bare key."""
+    if not attrs:
+        return ""
+    parts = []
+    for key, value in attrs:
+        if value:
+            parts.append(f'{key}="{escape_quote(str(value))}"')
+        else:
+            parts.append(f"{key}")
+    return " " + " ".join(parts)
+
+
+def tag_to_str(a: Arena, nid: int) -> str:
+    name = a.name[nid]
+    if not name:
+        return ""
+    if a.non_pair[nid]:
+        return f"<{name}{params_to_str(a.attrs[nid])} />"
+    return f"<{name}{params_to_str(a.attrs[nid])}>"
+
+
+# work-stack opcodes
+_OPEN = 0
+_LIT = 1
+
+
+def _serialize_tag(a: Arena, root: int, out: List[str]) -> None:
+    """Append the full to_string of tag/comment node ``root`` to ``out``."""
+    stack = [(_OPEN, root)]
+    while stack:
+        op, x = stack.pop()
+        if op == _LIT:
+            out.append(x)
+            continue
+        k = a.kind[x]
+        if k == COMMENT:
+            out.append(comment_to_string(a.text[x]))
+            continue
+        if k == TEXT:
+            # only reachable if a text node is serialized directly
+            out.append(a.text[x])
+            continue
+        name = a.name[x]
+        out.append(tag_to_str(a, x))
+        raw = name in _DONT_ESCAPE
+        if name and not a.non_pair[x]:
+            stack.append((_LIT, f"</{name}>"))
+        for ch in reversed(a.children[x]):
+            ck = a.kind[ch]
+            if ck == TEXT:
+                t = a.text[ch]
+                stack.append((_LIT, t if raw else html.escape(t)))
+            else:
+                stack.append((_OPEN, ch))
+
+
+def to_string(a: Arena, nid: Optional[int] = None) -> str:
+    if nid is None:
+        nid = a.result_root
+    out: List[str] = []
+    _serialize_tag(a, nid, out)
+    return "".join(out)
+
+
+def content_str(a: Arena, nid: Optional[int] = None, escape: bool = False) -> str:
+    """Inner serialization: top-level text raw (or escaped), tag/comment
+    children via their to_string (tag.py:173-190)."""
+    if nid is None:
+        nid = a.result_root
+    out: List[str] = []
+    for ch in a.children[nid]:
+        if a.kind[ch] == TEXT:
+            t = a.text[ch]
+            out.append(html.escape(t) if escape else t)
+        else:
+            _serialize_tag(a, ch, out)
+    return "".join(out)
+
+
+def content_without_tags(a: Arena, nid: Optional[int] = None) -> str:
+    """Concatenate text nodes only, comments dropped (tag.py:75-88)."""
+    if nid is None:
+        nid = a.result_root
+    out: List[str] = []
+    stack = list(reversed(a.children[nid]))
+    while stack:
+        x = stack.pop()
+        k = a.kind[x]
+        if k == TEXT:
+            out.append(a.text[x])
+        elif k == TAG:
+            stack.extend(reversed(a.children[x]))
+    return "".join(out)
+
+
+def comment_prettify(content: str, depth: int, dont_format: bool = False) -> str:
+    if dont_format:
+        return comment_to_string(content)
+    return f"{depth * '  '}{comment_to_string(content)}"
+
+
+def prettify(
+    a: Arena, nid: Optional[int] = None, depth: int = 0, dont_format: bool = False
+) -> str:
+    """tag.py:422-478 — recursive faithful port (not a hot path)."""
+    if nid is None:
+        nid = a.result_root
+    k = a.kind[nid]
+    if k == COMMENT:
+        return comment_prettify(a.text[nid], depth, dont_format)
+    if k == TEXT:
+        return a.text[nid]
+
+    name = a.name[nid]
+    if name == "":
+        return _prettify_virtual(a, nid)
+
+    tag = tag_to_str(a, nid)
+    indent = depth * "  "
+
+    if a.non_pair[nid] and not a.children[nid]:
+        return f"{indent}{tag}\n"
+
+    end_tag = "" if a.non_pair[nid] else f"</{name}>"
+
+    if not dont_format and name in _DONT_FORMAT:
+        dont_format = True
+
+    raw = name in _DONT_ESCAPE
+
+    content = ""
+    for ch in a.children[nid]:
+        if a.kind[ch] == TEXT:
+            t = a.text[ch]
+            if dont_format or t.strip():
+                content += t if raw else html.escape(t)
+        else:
+            content += prettify(a, ch, depth + 1, dont_format=dont_format)
+
+    if dont_format:
+        return f"{tag}{content}{end_tag}\n"
+
+    is_multiline = sum(1 for x in content.strip() if x == "\n") > 1
+    if is_multiline:
+        if content.endswith("\n"):
+            return f"{indent}{tag}\n{content}{indent}{end_tag}\n"
+        return f"{indent}{tag}\n{content}\n{indent}{end_tag}\n"
+
+    if content.startswith("  ") and content.endswith("\n"):
+        return f"{indent}{tag}\n{content}{indent}{end_tag}\n"
+
+    return f"{indent}{tag}{content}{end_tag}\n"
+
+
+def _prettify_virtual(a: Arena, nid: int) -> str:
+    """tag.py:464-478 — the empty-name container joins prettified items."""
+    outputs = []
+    for ch in a.children[nid]:
+        if a.kind[ch] == TEXT:
+            t = a.text[ch]
+            if t.strip():
+                outputs.append(html.escape(t))
+        else:
+            outputs.append(prettify(a, ch, 0))
+    return "\n".join(outputs)

@@ -1,0 +1,45 @@
+"""Constructed-DOM parity: Tag()/Comment() built by hand, not parsed
+(script/style no-escape serialization, test_tag.py:749-752)."""
+
+from __future__ import annotations
+
+from dhtmlparser3_spark.engine import api
+
+
+def test_script_style_no_escape(ref):
+    import dhtmlparser3
+
+    for name in ["script", "style"]:
+        rt = dhtmlparser3.Tag(name, content=["< > & \" '"])
+        ot = api.Tag(name, content=["< > & \" '"])
+        assert ot.to_string() == rt.to_string()
+    rt = dhtmlparser3.Tag("div", content=["< > & \" '"])
+    ot = api.Tag("div", content=["< > & \" '"])
+    assert ot.to_string() == rt.to_string()
+
+
+def test_tag_with_params_and_nesting(ref):
+    import dhtmlparser3
+
+    ri = dhtmlparser3.Tag("i", content=["x"])
+    rt = dhtmlparser3.Tag("b", parameters={"a": "1"}, content=["t", ri])
+    oi = api.Tag("i", content=["x"])
+    ot = api.Tag("b", parameters={"a": "1"}, content=["t", oi])
+    assert ot.to_string() == rt.to_string()
+    assert ot.content_str() == rt.content_str()
+
+
+def test_comment_construct(ref):
+    import dhtmlparser3
+
+    assert api.Comment("hi").to_string() == dhtmlparser3.Comment("hi").to_string()
+    assert api.Comment("  ").to_string() == dhtmlparser3.Comment("  ").to_string()
+
+
+def test_nonpair_render(ref):
+    import dhtmlparser3
+
+    rt = dhtmlparser3.Tag("br", is_non_pair=True)
+    ot = api.Tag("br", is_non_pair=True)
+    assert ot.to_string() == rt.to_string()
+    assert ot.prettify() == rt.prettify()
