@@ -1,10 +1,14 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator family (SURVEY.md §2 + the training-data ops) has
+a ``queries()`` entry; each SQL-expressible one has a DuckDB oracle that
+recomputes the EXPECTED output independently (string-constructed extraction
+outputs, brute-force dedup/similarity, constant-matrix DOM shapes).  Column
+names/aliases match pairwise — the driver hashes values under sorted column
+names.
+
+Approximate-by-nature ops (LSH ANN) are rows-only on purpose; their recall
+is pinned in tests/ instead.
 """
 
 from __future__ import annotations
@@ -12,27 +16,598 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (mirror the Spark-side constants — imported, not copied)
+# ---------------------------------------------------------------------------
+
+_WS = r"\s+"
+_HASH60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
+
+
+def _toks(x: str = "text") -> str:
+    return f"(CASE WHEN trim({x}) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim({x}), '{_WS}') END)"
+
+
+def _corpus_sql() -> str:
+    """DuckDB twin of functions.dedup.dedup_corpus (same constants)."""
+    from dhtmlparser3_spark.functions import dedup as dd
+
+    trunc = (
+        f"array_to_string(list_slice({_toks()}, 1, "
+        f"ceil(len({_toks()}) * {dd.TRUNC_NUM} / {dd.TRUNC_DEN})::INT), ' ')"
+    )
+    return f"""(
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {dd.NEAR_DUP_OFFSET} AS doc_id, {trunc} AS text
+      FROM documents WHERE doc_id % {dd.NEAR_DUP_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {dd.EXACT_DUP_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % {dd.EXACT_DUP_MOD} = 0
+    )"""
+
+
+def _shingles_sql(n: int = 3) -> str:
+    """Distinct n-token shingles per doc over the dedup corpus."""
+    return f"""(
+      WITH arrs AS (
+        SELECT doc_id, {_toks()} AS arr FROM {_corpus_sql()}
+      )
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(list_slice(arr, i, i + {n - 1}), ' ')
+                     for i in generate_series(1, len(arr) - {n - 1})]) AS sh
+      FROM arrs WHERE len(arr) >= {n}
+    )"""
+
+
+def _jaccard_pairs_sql(tau_pct: int = 60) -> str:
+    return f"""
+      WITH sh AS (SELECT * FROM {_shingles_sql()}),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT a_id, b_id,
+             CAST(FLOOR(100.0 * inter / (sa.n_sh + sb.n_sh - inter)) AS INT) AS jacc_pct
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE FLOOR(100.0 * inter / (sa.n_sh + sb.n_sh - inter)) >= {tau_pct}
+    """
+
+
+# per-template DOM shape constants (verified against the reference parser in
+# tests/test_entry_queries.py::test_tag_matrix_matches_reference)
+TAG_MATRIX = {
+    0: {"html": 1, "head": 1, "title": 1, "body": 1, "p": 1},
+    1: {"html": 1, "head": 1, "title": 1, "style": 1, "body": 1, "script": 1,
+        "p": 1, "div": 1},
+    2: {"html": 1, "body": 1, "div": 1, "br": 1, "img": 1, "hr": 1, "p": 1},
+    3: {"html": 1, "body": 1, "p": 1},
+    4: {"html": 1, "body": 1, "div": 2},
+}
+# text nodes per template when the payload text is non-empty
+TEXT_NODE_MATRIX = {0: 2, 1: 5, 2: 2, 3: 1, 4: 1}
+# does the payload contribute its own text node (drops out when text='')
+PAYLOAD_TEXT_NODE = {0: 1, 1: 1, 2: 1, 3: 0, 4: 1}  # T3 merges with literals
+
+
+# ---------------------------------------------------------------------------
+# entry + queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline at sf0.001 (salted repartition →
+    Arrow-batched parse → byte-identical content_str + boilerplate-stripped
+    main_text + spans)."""
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, SF001)
+    return extract_pages(pages, parallelism=8).drop("spans")
+
+
+def _q_extract_content_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dhtmlparser3_spark.functions.extract import udf_content_str
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select("url", udf_content_str()("html").alias("value"))
+
+
+def _q_extract_main_text(spark, sf_dir):
+    from dhtmlparser3_spark.functions.extract import udf_main_text
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select("url", udf_main_text()("html").alias("value"))
+
+
+def _q_extract_roundtrip(spark, sf_dir):
+    from dhtmlparser3_spark.functions.extract import udf_to_string
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select("url", udf_to_string()("html").alias("value"))
+
+
+def _q_extract_stats(spark, sf_dir):
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    ex = extract_pages(pages, with_metrics=False)
+    tpl = (F.regexp_extract("url", r"/(\d+)\.html$", 1).cast("long") % 5).alias(
+        "template"
+    )
+    return (
+        ex.select(tpl, "n_tags", "n_text_nodes", "error")
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tags").alias("sum_tags"),
+            F.sum("n_text_nodes").alias("sum_text_nodes"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+    )
+
+
+def _q_node_tag_counts(spark, sf_dir):
+    from dhtmlparser3_spark.operators.nodes import node_table
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    nodes = node_table(build_pages(spark, sf_dir))
+    return (
+        nodes.where(F.col("kind") == 1)
+        .where(F.col("name").isNotNull())
+        .groupBy(F.col("name"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_find_attr(spark, sf_dir):
+    from dhtmlparser3_spark.operators.nodes import find_tags, node_table
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    nodes = node_table(build_pages(spark, sf_dir))
+    # case-insensitive key lookup: the template writes CLASS="inner"
+    hits = find_tags(nodes, "div", {"class": "inner"})
+    return hits.agg(F.count("*").alias("n_matches"))
+
+
+def _q_descendant_divs(spark, sf_dir):
+    from dhtmlparser3_spark.operators.nodes import descendant_join, node_table
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    nodes = node_table(build_pages(spark, sf_dir))
+    pairs = descendant_join(
+        nodes,
+        (F.col("kind") == 1) & (F.lower(F.col("name")) == "div"),
+        (F.col("kind") == 1) & (F.lower(F.col("name")) == "div"),
+    )
+    return pairs.agg(F.count("*").alias("n_pairs"))
+
+
+def _q_token_count(spark, sf_dir):
+    from dhtmlparser3_spark.functions.textops import with_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_token_count(docs).select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+
+
+def _q_quality(spark, sf_dir):
+    from dhtmlparser3_spark.functions.textops import with_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_stopwords", "n_punct", "n_alpha",
+        "quality",
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from dhtmlparser3_spark.functions.textops import with_lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id(docs).select(
+        "doc_id", "hits_en", "hits_de", "hits_fr", "lang_pred"
+    )
+
+
+def _q_fingerprints(spark, sf_dir):
+    from dhtmlparser3_spark.functions.textops import fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprints(docs, k=5, window=4)
+
+
+def _q_exact_dups(spark, sf_dir):
+    from dhtmlparser3_spark.functions.dedup import dedup_corpus, exact_dup_groups
+
+    return exact_dup_groups(dedup_corpus(spark, sf_dir))
+
+
+def _q_jaccard_brute(spark, sf_dir):
+    from dhtmlparser3_spark.functions.dedup import dedup_corpus, jaccard_pairs
+
+    return jaccard_pairs(dedup_corpus(spark, sf_dir), n=3, tau_pct=60)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from dhtmlparser3_spark.functions.dedup import dedup_corpus, minhash_lsh_pairs
+
+    return minhash_lsh_pairs(dedup_corpus(spark, sf_dir), n=3, tau_pct=60)
+
+
+def _q_simhash(spark, sf_dir):
+    from dhtmlparser3_spark.functions.dedup import dedup_corpus, simhash_pairs
+
+    return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from dhtmlparser3_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, k=5, query_mod=50)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from dhtmlparser3_spark.functions.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, k=5, query_mod=50)
+
+
+def _q_media_meta(spark, sf_dir):
+    from dhtmlparser3_spark.functions.multimodal import decode_media, media_corpus
+
+    return decode_media(media_corpus(spark, sf_dir)).drop("error")
+
+
+def _q_host_topk(spark, sf_dir):
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    counts = pages.select(host).groupBy("host").agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("host").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("host", "n_docs", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def _q_orders_segment(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_content_str": _q_extract_content_str,
+        "extract_main_text": _q_extract_main_text,
+        "extract_roundtrip": _q_extract_roundtrip,
+        "extract_stats": _q_extract_stats,
+        "node_tag_counts": _q_node_tag_counts,
+        "find_attr_ci": _q_find_attr,
+        "descendant_divs": _q_descendant_divs,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "exact_dups": _q_exact_dups,
+        "jaccard_brute": _q_jaccard_brute,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh": _q_ann_lsh,  # approximate — rows-only by design
+        "media_meta": _q_media_meta,
+        "host_topk": _q_host_topk,
+        "events_hourly": _q_events_hourly,
+        "orders_segment": _q_orders_segment,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def _sql_extract(what: str) -> str:
+    from dhtmlparser3_spark.sources.pages import pages_oracle_sql
+
+    return pages_oracle_sql("", what)
+
+
+def _sql_roundtrip() -> str:
+    from dhtmlparser3_spark.sources import pages as pg
+
+    inner = pg.case_over_templates_sql(pg.EXPECTED_CONTENT_STR)
+    url = (
+        "printf('https://host%02d.example/%s/%d.html', (doc_id % 97)::INT, "
+        "source, doc_id)"
+    )
+    return (
+        f"SELECT {url} AS url, '<html>' || {inner} || '</html>' AS value "
+        "FROM documents"
+    )
+
+
+def _sql_extract_stats() -> str:
+    tag_rows = ", ".join(
+        f"({t}, {sum(c.values()) + 1})" for t, c in TAG_MATRIX.items()
+    )  # +1 = the virtual root node of the arena
+    txt_rows = ", ".join(
+        f"({t}, {n}, {PAYLOAD_TEXT_NODE[t]})" for t, n in TEXT_NODE_MATRIX.items()
+    )
+    return f"""
+      WITH tagm(template, tags) AS (VALUES {tag_rows}),
+      txtm(template, txt, payload) AS (VALUES {txt_rows}),
+      per AS (
+        SELECT doc_id % 5 AS template,
+               count(*) AS n_docs,
+               sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS n_empty
+        FROM documents GROUP BY 1
+      )
+      SELECT per.template AS template,
+             per.n_docs AS n_docs,
+             per.n_docs * tagm.tags AS sum_tags,
+             per.n_docs * txtm.txt - per.n_empty * txtm.payload AS sum_text_nodes,
+             0 AS n_errors
+      FROM per JOIN tagm USING (template) JOIN txtm USING (template)
     """
-    return {}
+
+
+def _sql_node_tag_counts() -> str:
+    rows = []
+    for t, counts in TAG_MATRIX.items():
+        for name, c in counts.items():
+            rows.append(f"({t}, '{name}', {c})")
+    values = ", ".join(rows)
+    return f"""
+      WITH m(template, name, cnt) AS (VALUES {values}),
+      per AS (SELECT doc_id % 5 AS template, count(*) AS n_docs
+              FROM documents GROUP BY 1)
+      SELECT m.name AS name, SUM(per.n_docs * m.cnt) AS n
+      FROM m JOIN per USING (template) GROUP BY 1
+    """
+
+
+def _sql_quality() -> str:
+    from dhtmlparser3_spark.functions.textops import PUNCT_CLASS, STOPWORDS_EN
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    punct = PUNCT_CLASS.replace("'", "''")
+    toks = _toks()
+    ltoks = _toks("lower(text)")
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({toks}) AS n_tokens,
+               len(list_filter({ltoks}, x -> x IN ({stop}))) AS n_stopwords,
+               length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS n_punct,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+        FROM documents
+      )
+      SELECT doc_id, n_chars::INT AS n_chars, n_tokens::INT AS n_tokens,
+             n_stopwords::INT AS n_stopwords, n_punct::INT AS n_punct,
+             n_alpha::INT AS n_alpha,
+             (CASE WHEN n_tokens = 0 THEN 0 ELSE
+               LEAST(40, CAST(FLOOR(40.0 * n_alpha / GREATEST(n_chars, 1)) AS INT))
+               + LEAST(30, CAST(FLOOR(30.0 * n_stopwords * 5 / GREATEST(n_tokens, 1)) AS INT))
+               + GREATEST(0, 30 - CAST(FLOOR(100.0 * n_punct / GREATEST(n_chars, 1)) AS INT))
+             END)::INT AS quality
+      FROM base
+    """
+
+
+def _sql_lang_id() -> str:
+    from dhtmlparser3_spark.functions.textops import (
+        STOPWORDS_DE,
+        STOPWORDS_EN,
+        STOPWORDS_FR,
+    )
+
+    ltoks = _toks("lower(text)")
+
+    def hits(words):
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter({ltoks}, x -> x IN ({lst})))"
+
+    return f"""
+      WITH base AS (
+        SELECT doc_id, {hits(STOPWORDS_EN)} AS hits_en,
+               {hits(STOPWORDS_DE)} AS hits_de,
+               {hits(STOPWORDS_FR)} AS hits_fr
+        FROM documents
+      )
+      SELECT doc_id, hits_en::INT AS hits_en, hits_de::INT AS hits_de,
+             hits_fr::INT AS hits_fr,
+             CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+                  WHEN hits_de >= hits_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM base
+    """
+
+
+def _sql_fingerprints(k: int = 5, window: int = 4) -> str:
+    gram = f"array_to_string(list_slice(arr, i, i + {k - 1}), ' ')"
+    h = _HASH60.format(x=gram)
+    return f"""
+      WITH arrs AS (
+        SELECT doc_id, {_toks()} AS arr FROM documents
+      ),
+      g AS (
+        SELECT doc_id,
+               [{{'pos': i, 'h': {h}}}
+                for i in generate_series(1, len(arr) - {k - 1})] AS gs
+        FROM arrs WHERE len(arr) >= {k}
+      ),
+      gu AS (SELECT doc_id, unnest(gs) AS u FROM g),
+      gh AS (SELECT doc_id, u.pos AS pos, u.h AS hh FROM gu),
+      wm AS (
+        SELECT doc_id, pos,
+               min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM gh
+      )
+      SELECT DISTINCT doc_id, wmin AS fingerprint
+      FROM wm WHERE pos <= n - {window - 1}
+    """
+
+
+def _sql_exact_dups() -> str:
+    return f"""
+      SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS min_doc_id
+      FROM {_corpus_sql()}
+      GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+def _sql_simhash(max_hamming: int = 3) -> str:
+    h = _HASH60.format(x="sh")
+    return f"""
+      WITH sh AS (SELECT * FROM {_shingles_sql()}),
+      hh AS (SELECT doc_id, {h} AS h FROM sh),
+      bits AS (
+        SELECT doc_id, b,
+               CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END AS v
+        FROM hh, generate_series(0, 59) AS t(b)
+        GROUP BY doc_id, b
+      ),
+      sig AS (SELECT doc_id, sum(v)::BIGINT AS s FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.s, b.s))::INT AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
+def _sql_cosine_topk(k: int = 5, query_mod: int = 50) -> str:
+    dot = (
+        "list_sum(list_transform(list_zip(q.e, b.embedding), "
+        "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    )
+    nq = "sqrt(list_sum(list_transform(q.e, x -> x::DOUBLE * x::DOUBLE)))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
+                 WHERE vec_id % {query_mod} = 0),
+      pairs AS (
+        SELECT q.qid, b.vec_id AS nid, {dot} / ({nq} * {nb}) AS sim
+        FROM q, embeddings b WHERE b.vec_id <> q.qid
+      ),
+      r AS (SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+            FROM pairs)
+      SELECT qid AS query_id, nid AS neighbor_id, rk::INT AS rank
+      FROM r WHERE rk <= {k}
+    """
+
+
+def _sql_media_meta() -> str:
+    return """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n
+        FROM documents
+      )
+      SELECT doc_id, kind, n::INT AS n_bytes,
+             CASE WHEN kind IN ('image','video') THEN (n % 640 + 1)::INT END AS width,
+             CASE WHEN kind IN ('image','video') THEN ((n * 7) % 480 + 1)::INT END AS height,
+             CASE WHEN kind = 'video' THEN (n % 30 + 1)::INT END AS n_frames,
+             CASE WHEN kind = 'audio' THEN (8000 + n % 48000)::INT END AS sample_rate
+      FROM base
+    """
+
+
+def _sql_host_topk() -> str:
+    return """
+      WITH hosts AS (
+        SELECT printf('host%02d.example', (doc_id % 97)::INT) AS host,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+      )
+      SELECT host, n_docs,
+             row_number() OVER (ORDER BY n_docs DESC, host ASC)::INT AS rk
+      FROM hosts
+      QUALIFY rk <= 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_content_str": _sql_extract("content_str"),
+        "extract_main_text": _sql_extract("main_text"),
+        "extract_roundtrip": _sql_roundtrip(),
+        "extract_stats": _sql_extract_stats(),
+        "node_tag_counts": _sql_node_tag_counts(),
+        "find_attr_ci": "SELECT count(*) AS n_matches FROM documents WHERE doc_id % 5 = 4",
+        "descendant_divs": "SELECT count(*) AS n_pairs FROM documents WHERE doc_id % 5 = 4",
+        "token_count": (
+            f"SELECT doc_id, len({_toks()})::INT AS n_tokens FROM documents"
+        ),
+        "quality_score": _sql_quality(),
+        "lang_id": _sql_lang_id(),
+        "fingerprints": _sql_fingerprints(),
+        "exact_dups": _sql_exact_dups(),
+        "jaccard_brute": _jaccard_pairs_sql(60),
+        "minhash_lsh": _jaccard_pairs_sql(60),  # LSH+verify == brute (see dedup.py)
+        "simhash": _sql_simhash(),
+        "cosine_topk": _sql_cosine_topk(),
+        # ann_lsh: intentionally omitted — approximate; recall pinned in tests
+        "media_meta": _sql_media_meta(),
+        "host_topk": _sql_host_topk(),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n_events, min(event_id) AS min_event_id, "
+            "max(event_id) AS max_event_id FROM events GROUP BY 1, 2"
+        ),
+        "orders_segment": (
+            "SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders, "
+            "min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"
+        ),
+    }

@@ -1,0 +1,274 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 10^12 docs:
+
+* exact dedup = one hash-aggregate on md5(text) — map-side partial agg, one
+  shuffle on the digest, no text moves after the first projection;
+* MinHash+LSH = shingle → 64 permuted mins (map-side agg) → 32 bands × r=2 →
+  bucket self-join (the only quadratic step is within-bucket) → exact-Jaccard
+  verification of candidates only;
+* SimHash = 60-bit md5-derived signature; candidate generation by 4×15-bit
+  pigeonhole chunks (hamming ≤ 3 ⟹ ≥1 chunk equal ⟹ 100% recall), verified
+  with bit_count(xor);
+* everything is built-in columnar expressions — no Python UDFs anywhere.
+
+The 60-bit md5 hash (textops.hash60_col) is reproducible in DuckDB, so the
+oracle recomputes identical signatures; the LSH/banding internals need no
+oracle because the *verified* output is compared against brute-force SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dhtmlparser3_spark.functions.textops import hash60_col, tokens_col
+
+# corpus-construction constants (mirrored in the DuckDB oracle SQL)
+NEAR_DUP_MOD = 7
+NEAR_DUP_OFFSET = 1_000_000
+EXACT_DUP_MOD = 11
+EXACT_DUP_OFFSET = 2_000_000
+TRUNC_NUM, TRUNC_DEN = 4, 5  # near-dup keeps the first ceil(4/5) of tokens
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic near-dup + exact-dup copies.
+
+    The synthetic corpus has (almost) no natural duplicates, so dedup
+    operators would all trivially return empty; these constructed copies
+    give the correctness gate real positives.  The same construction is a
+    three-branch UNION in the DuckDB oracle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = tokens_col("text")
+    keep = F.ceil(F.size(toks) * TRUNC_NUM / TRUNC_DEN).cast("int")
+    near = (
+        docs.where(F.col("doc_id") % NEAR_DUP_MOD == 0)
+        .select(
+            (F.col("doc_id") + NEAR_DUP_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, keep), " ").alias("text"),
+        )
+    )
+    exact = docs.where(F.col("doc_id") % EXACT_DUP_MOD == 0).select(
+        (F.col("doc_id") + EXACT_DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup → groups with >1 member."""
+    return (
+        df.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingle_sets(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) DISTINCT — n-token shingles, no shuffle to build
+    (array ops inside codegen), one distinct."""
+    toks = tokens_col("text")
+    sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """Exact Jaccard for pairs; if ``candidates`` (a_id,b_id) given, verify
+    only those (LSH path), else all co-shingled pairs (brute path)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
+    sa = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")
+    sb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(
+                100.0
+                * F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            )
+            .cast("int")
+            .alias("jacc_pct"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, n: int = 3, tau_pct: int = 60, id_col: str = "doc_id"
+) -> DataFrame:
+    """Brute exact n-gram-Jaccard near-dup pairs (the small-scale baseline
+    and the verifier for LSH)."""
+    sh = shingle_sets(df, n, id_col)
+    return _pair_jaccard(sh, None).where(F.col("jacc_pct") >= tau_pct)
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+_P31 = 2147483647  # 2^31-1, Mersenne prime
+
+
+def _perm_coeffs(num_perm: int):
+    """Deterministic permutation coefficients (seeded LCG, no RNG import)."""
+    a, b, out = 1103515245, 12345, []
+    x = 42
+    for _ in range(num_perm):
+        x = (a * x + b) % _P31
+        ca = x or 1
+        x = (a * x + b) % _P31
+        cb = x
+        out.append((ca, cb))
+    return out
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perm: int = 64
+) -> DataFrame:
+    """(doc_id, m0..m{num_perm-1}) — one map-side aggregate; the base hash is
+    xxhash64 folded into 31 bits so a_i*x+b_i never overflows int64."""
+    base = F.pmod(F.xxhash64("sh"), F.lit(_P31))
+    aggs = [
+        F.min((F.lit(ca) * base + F.lit(cb)) % F.lit(_P31)).alias(f"m{i}")
+        for i, (ca, cb) in enumerate(_perm_coeffs(num_perm))
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    tau_pct: int = 60,
+    num_perm: int = 64,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates (32 bands × r=2 at defaults) verified by exact Jaccard.
+
+    With r=2/b=32, a pair at Jaccard 0.6 is missed with prob (1-0.36)^32 ≈
+    6e-7 — the verified output equals brute force in expectation, which is
+    what the DuckDB oracle asserts.
+    """
+    sh = shingle_sets(df, n, id_col)
+    sig = minhash_signatures(sh, num_perm)
+    n_bands = num_perm // rows_per_band
+    band_rows = []
+    for band in range(n_bands):
+        cols = [f"m{band * rows_per_band + r}" for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("sig"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(sh, cand).where(F.col("jacc_pct") >= tau_pct)
+
+
+# --- SimHash -------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # md5-derived portable hash width (textops.hash60_col)
+SIMHASH_CHUNKS = 4  # pigeonhole bands of 15 bits → exact recall for ham ≤ 3
+
+
+def simhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — bit j set iff sum over shingles of ±1 > 0."""
+    h = hash60_col(F.col("sh"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_bit = shingles.groupBy("doc_id").agg(*sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_bit.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, n: int = 3, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k, exact recall via pigeonhole
+    chunk join (k < SIMHASH_CHUNKS required)."""
+    assert max_hamming < SIMHASH_CHUNKS
+    sh = shingle_sets(df, n, id_col)
+    sig = simhash_signatures(sh)
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(chunks).alias("ch")
+    ).select(
+        "doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.c") == F.col("r.c"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a_id"),
+            F.col("r.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,281 @@
+"""Arrow-vectorized extraction UDFs — the Python hot path.
+
+Per BASELINE.json ``input_hint``: *no per-row Python objects cross the JVM
+boundary* — rows arrive in Arrow batches as pandas Series, the per-document
+tokenize→tree-build→serialize work runs inside the worker, and plain string/
+int columns go back.  The per-doc algorithm is the exact-parity engine
+(dhtmlparser3_spark.engine); errors (the reference raises on out-of-range
+numeric entities — chr(ValueError)) become an ``error`` column instead of
+killing the job at 10^12-row scale.
+
+Spans: per-text-node (src_start, src_end) offsets into the decoded html —
+``html[src_start:src_end]`` is the raw slice each text node came from.
+"""
+
+from __future__ import annotations
+
+import gc
+from typing import Iterator, List, Optional
+
+import pandas as pd
+
+from dhtmlparser3_spark.engine import serialize
+from dhtmlparser3_spark.engine.dom import Arena, parse_arena
+from dhtmlparser3_spark.engine.lexer import COMMENT, TAG, TEXT
+
+_BOILERPLATE_NAMES = frozenset({"script", "style"})
+
+# output schema of extract_map_in_pandas (url/ts/lang passed through)
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, "
+    "extracted_text string, main_text string, "
+    "n_nodes int, n_tags int, n_text_nodes int, n_chars_out bigint, "
+    "spans array<struct<node_id:int,src_start:int,src_end:int>>, "
+    "error string"
+)
+
+NODE_SCHEMA = (
+    "array<struct<node_id:int,parent_id:int,kind:tinyint,name:string,"
+    "attrs:array<struct<key:string,value:string>>,text:string,"
+    "is_non_pair:boolean,depth:int,subtree_end:int,"
+    "src_start:int,src_end:int>>"
+)
+
+
+def decode_html(raw) -> str:
+    if raw is None:
+        return ""
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        return bytes(raw).decode("utf-8", errors="replace")
+    return str(raw)
+
+
+def main_text(a: Arena, nid: Optional[int] = None) -> str:
+    """Boilerplate-stripped text: content_without_tags semantics
+    (tag.py:75-88 — comments dropped) minus script/style subtrees.
+
+    This is OUR extraction operator (the north-star 'boilerplate-strip'
+    stage), not a reference method; script/style match case-insensitively
+    like find() does.
+    """
+    if nid is None:
+        nid = a.result_root
+    out: List[str] = []
+    stack = list(reversed(a.children[nid]))
+    while stack:
+        x = stack.pop()
+        k = a.kind[x]
+        if k == TEXT:
+            out.append(a.text[x])
+        elif k == TAG and a.name[x].lower() not in _BOILERPLATE_NAMES:
+            stack.extend(reversed(a.children[x]))
+    return "".join(out)
+
+
+def flatten_nodes(a: Arena):
+    """Arena → flat pre-order node records for the relational tier.
+
+    node_id == pre-order rank from the result root; ``subtree_end`` is one
+    past the last descendant, so descendant containment is the interval test
+    ``anc.node_id < d.node_id < anc.subtree_end`` — a Catalyst-friendly
+    range predicate (used for descendant joins instead of recursion).
+    Parents here are STRUCTURAL (recomputed), not the reference's sometimes
+    stale pointers.
+    """
+    order: List[int] = []
+    depths: List[int] = []
+    parents: List[int] = []  # structural parent as pre-order rank
+    rank = {}
+    stack = [(a.result_root, 0, -1)]
+    while stack:
+        nid, depth, par = stack.pop()
+        rank[nid] = len(order)
+        order.append(nid)
+        depths.append(depth)
+        parents.append(par)
+        if a.kind[nid] == TAG:
+            for ch in reversed(a.children[nid]):
+                stack.append((ch, depth + 1, rank[nid]))
+
+    n = len(order)
+    sub_end = [0] * n
+    # subtree_end: walk ranks backwards keeping a stack of open ancestors
+    for i in range(n - 1, -1, -1):
+        sub_end[i] = i + 1
+    # propagate: a parent's subtree extends to max(subtree_end of children)
+    for i in range(n - 1, 0, -1):
+        p = parents[i]
+        if sub_end[i] > sub_end[p]:
+            sub_end[p] = sub_end[i]
+
+    recs = []
+    for i, nid in enumerate(order):
+        recs.append(
+            {
+                "node_id": i,
+                "parent_id": parents[i],
+                "kind": a.kind[nid],
+                "name": a.name[nid] or None,
+                "attrs": [
+                    {"key": k, "value": v} for k, v in a.attrs[nid]
+                ]
+                or None,
+                "text": a.text[nid] or None,
+                "is_non_pair": bool(a.non_pair[nid]),
+                "depth": depths[i],
+                "subtree_end": sub_end[i],
+                "src_start": a.src_start[nid],
+                "src_end": a.src_end[nid],
+            }
+        )
+    return recs
+
+
+def text_spans(a: Arena):
+    """(node_id-in-pre-order, src_start, src_end) for every text node."""
+    out = []
+    idx = 0
+    # pre-order walk mirroring flatten_nodes numbering
+    stack = [a.result_root]
+    while stack:
+        nid = stack.pop()
+        if a.kind[nid] == TEXT and a.src_start[nid] >= 0:
+            out.append(
+                {
+                    "node_id": idx,
+                    "src_start": a.src_start[nid],
+                    "src_end": a.src_end[nid],
+                }
+            )
+        if a.kind[nid] == TAG:
+            stack.extend(reversed(a.children[nid]))
+        idx += 1
+    return out
+
+
+def extract_one(html: str):
+    """Parse one document → (extracted_text, main_text, counts, spans, error)."""
+    try:
+        a = parse_arena(html)
+    except Exception as e:  # noqa: BLE001 — error-row at scale, never a crash
+        return None, None, 0, 0, 0, 0, None, f"{type(e).__name__}: {e}"
+    content = serialize.content_str(a)
+    mtext = main_text(a)
+    n_nodes = len(a.kind)
+    n_tags = sum(1 for k in a.kind if k == TAG)
+    n_text = sum(1 for k in a.kind if k == TEXT)
+    return (
+        content,
+        mtext,
+        n_nodes,
+        n_tags,
+        n_text,
+        len(content),
+        text_spans(a),
+        None,
+    )
+
+
+def extract_series(html: pd.Series) -> pd.DataFrame:
+    """Vectorized batch extraction over a Series of html bytes/str."""
+    gc_was_enabled = gc.isenabled()
+    gc.disable()  # alloc-heavy build loop, parity with parser.py:38
+    try:
+        rows = [extract_one(decode_html(h)) for h in html]
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "extracted_text",
+            "main_text",
+            "n_nodes",
+            "n_tags",
+            "n_text_nodes",
+            "n_chars_out",
+            "spans",
+            "error",
+        ],
+        index=html.index,
+    )
+
+
+def make_extract_iterator(passthrough=("url", "warc_ts", "lang")):
+    """Build a mapInPandas function: batches of pages → extraction batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = extract_series(pdf["html"])
+            for col in passthrough:
+                out[col] = pdf[col].values
+            yield out[
+                list(passthrough)
+                + [
+                    "extracted_text",
+                    "main_text",
+                    "n_nodes",
+                    "n_tags",
+                    "n_text_nodes",
+                    "n_chars_out",
+                    "spans",
+                    "error",
+                ]
+            ]
+
+    return run
+
+
+def udf_content_str():
+    """pandas_udf: html (binary/string) → content_str string column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _content_str(html: pd.Series) -> pd.Series:
+        gc.disable()
+        try:
+            return html.map(
+                lambda h: serialize.content_str(parse_arena(decode_html(h)))
+            )
+        finally:
+            gc.enable()
+
+    return _content_str
+
+
+def udf_main_text():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _main_text(html: pd.Series) -> pd.Series:
+        gc.disable()
+        try:
+            return html.map(lambda h: main_text(parse_arena(decode_html(h))))
+        finally:
+            gc.enable()
+
+    return _main_text
+
+
+def udf_to_string():
+    """Round-trip serialization (Tag.to_string of the parsed root)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _to_string(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda h: serialize.to_string(parse_arena(decode_html(h)))
+        )
+
+    return _to_string
+
+
+def udf_nodes():
+    """html → flattened node array (relational tier input)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(NODE_SCHEMA)
+    def _nodes(html: pd.Series) -> pd.Series:
+        return html.map(lambda h: flatten_nodes(parse_arena(decode_html(h))))
+
+    return _nodes

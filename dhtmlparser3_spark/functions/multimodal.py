@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with a
+``kind`` discriminator and a typed metadata struct.  The Spark-side plumbing
+(schema, Arrow batching, mapInPandas signature, partitioning) is REAL and
+tested; the actual codec step is a **deterministic fake** — this container
+has no image/audio libraries.  Wire a real decoder by replacing
+``_fake_decode`` (the try-import of PIL/soundfile below shows the seam).
+
+Metadata schema: ``n_bytes`` (real), ``width/height/n_frames/sample_rate``
+(fake but deterministic functions of the payload length, so the DuckDB
+oracle can verify the full plumbing end-to-end).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes int, width int, height int, "
+    "n_frames int, sample_rate int, error string"
+)
+
+try:  # the real-decoder seam — not available in this container
+    import PIL.Image  # type: ignore # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:  # noqa: BLE001
+    _HAVE_PIL = False
+
+
+def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake media table derived from documents: payload = utf-8 bytes of the
+    text, kind cycles image/audio/video by doc_id % 3."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _fake_decode(kind: str, payload: bytes):
+    """DETERMINISTIC FAKE decode — stands in for PIL/ffmpeg/soundfile.
+
+    Real decode would go here (gated on _HAVE_PIL etc.); the fake keeps the
+    full Spark plumbing testable: every value is a pure function of
+    len(payload), reproducible in the SQL oracle.
+    """
+    n = len(payload)
+    if kind == "image":
+        return n, n % 640 + 1, (n * 7) % 480 + 1, None, None
+    if kind == "audio":
+        return n, None, None, None, 8000 + n % 48000
+    if kind == "video":
+        return n, n % 640 + 1, (n * 7) % 480 + 1, n % 30 + 1, None
+    raise NotImplementedError(f"unknown media kind {kind!r}")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches of binary payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, payload in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                try:
+                    n, w, h, fr, sr = _fake_decode(kind, bytes(payload))
+                    rows.append((doc_id, kind, n, w, h, fr, sr, None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        (doc_id, kind, None, None, None, None, None, str(e))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "kind",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "sample_rate",
+                    "error",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -1,0 +1,113 @@
+"""Relational tier: the DOM as a flat node table + Catalyst-native find().
+
+``find``-style queries that only touch names/attributes don't need Python:
+explode the per-document node array into a (url, node…) table and express
+``_is_almost_equal`` (tag.py:383-420) as codegen'd predicates:
+
+* name match     → ``lower(name) = lit`` (or exact when case_sensitive),
+* ``""`` wildcard → no predicate,
+* param subset   → EXISTS over the attrs array with case-insensitive key,
+  exact value (SpecialDict lookup semantics),
+* pre-order/doc order is the ``node_id`` column (stable sort key),
+* descendant containment is the interval test
+  ``anc.node_id < d.node_id AND d.node_id < anc.subtree_end`` — a range
+  join, no recursion, AQE-splittable.
+
+``fn=lambda`` predicates do NOT relationalize — they stay in the UDF tier
+(engine.query), by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dhtmlparser3_spark.functions.extract import udf_nodes
+
+KIND_TEXT, KIND_TAG, KIND_COMMENT = 0, 1, 2
+
+
+def parse_nodes(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """pages → + nodes array column (one pandas-UDF pass)."""
+    return pages.withColumn("nodes", udf_nodes()(F.col(html_col)))
+
+
+def node_table(pages: DataFrame, key_col: str = "url") -> DataFrame:
+    """Exploded node table: one row per DOM node per document."""
+    return (
+        parse_nodes(pages)
+        .select(key_col, F.explode("nodes").alias("n"))
+        .select(
+            key_col,
+            F.col("n.node_id").alias("node_id"),
+            F.col("n.parent_id").alias("parent_id"),
+            F.col("n.kind").alias("kind"),
+            F.col("n.name").alias("name"),
+            F.col("n.attrs").alias("attrs"),
+            F.col("n.text").alias("text"),
+            F.col("n.is_non_pair").alias("is_non_pair"),
+            F.col("n.depth").alias("depth"),
+            F.col("n.subtree_end").alias("subtree_end"),
+            F.col("n.src_start").alias("src_start"),
+            F.col("n.src_end").alias("src_end"),
+        )
+    )
+
+
+def match_predicate(
+    name: str = "", p: dict | None = None, case_sensitive: bool = False
+) -> Column:
+    """Catalyst translation of _is_almost_equal for tag rows."""
+    cond = F.col("kind") == KIND_TAG
+    if name:
+        if case_sensitive:
+            cond = cond & (F.col("name") == name)
+        else:
+            cond = cond & (F.lower(F.col("name")) == name.lower())
+    for k, v in (p or {}).items():
+        key = k.lower()
+        cond = cond & F.exists(
+            F.col("attrs"),
+            lambda a: (F.lower(a["key"]) == key) & (a["value"] == v),
+        )
+    return cond
+
+
+def find_tags(
+    nodes: DataFrame,
+    name: str = "",
+    p: dict | None = None,
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """Relational find(): matching tag rows in document order (node_id =
+    pre-order rank, find includes the root itself like the reference)."""
+    return nodes.where(match_predicate(name, p, case_sensitive))
+
+
+def descendant_join(
+    nodes: DataFrame,
+    anc: Column,
+    desc: Column,
+    key_col: str = "url",
+) -> DataFrame:
+    """Pairs (ancestor, descendant) via pre-order interval containment.
+
+    Returns ancestor rows prefixed ``a_`` joined to descendant rows ``d_``.
+    Equi-key on the document + range predicate — Spark executes this as a
+    per-document hash join with a codegen'd filter; no tree traversal.
+    """
+    a = nodes.where(anc).select(
+        F.col(key_col),
+        F.col("node_id").alias("a_node_id"),
+        F.col("subtree_end").alias("a_subtree_end"),
+        F.col("name").alias("a_name"),
+    )
+    d = nodes.where(desc).select(
+        F.col(key_col),
+        F.col("node_id").alias("d_node_id"),
+        F.col("name").alias("d_name"),
+    )
+    return a.join(d, key_col).where(
+        (F.col("d_node_id") > F.col("a_node_id"))
+        & (F.col("d_node_id") < F.col("a_subtree_end"))
+    )

@@ -1,0 +1,55 @@
+"""The extraction job: pages → extracted table, engineered for 100 TB.
+
+Physical plan (SURVEY.md §3.1/§4):
+
+  scan (column-pruned: Catalyst keeps only url/warc_ts/lang/html)
+    → salted repartition on xxhash64(url, salt)   [the ONE shuffle]
+    → mapInPandas(extract)                        [Arrow batches, Python CPU]
+    → sink / downstream
+
+Why the explicit repartition: Common-Crawl rows cluster by host and size
+inside input files; AQE cannot rebalance INSIDE a Python-UDF stage, so
+without it a handful of tasks own the biggest hosts and the stage tail is
+one straggler.  Hashing the url with a salt spreads documents uniformly;
+the shuffle moves only (url, ts, lang, html) bytes once.  At cluster scale
+``parallelism`` should be ~2-3x total cores; Arrow batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so one batch of HTML fits
+worker memory regardless of document count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dhtmlparser3_spark.functions.extract import (
+    EXTRACT_SCHEMA,
+    make_extract_iterator,
+)
+
+
+def extract_pages(
+    pages: DataFrame,
+    parallelism: int | None = None,
+    salt: int = 2024,
+    with_metrics: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang, ...) → extracted rows."""
+    cols = ["url", "warc_ts", "lang", "html"]
+    df = pages.select(*cols)
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
+    # salted repartition on url-hash: defuses host-level skew *before* the
+    # Python stage (AQE can't split a straggling UDF task afterwards)
+    df = df.repartition(parallelism, F.xxhash64(F.col("url"), F.lit(salt)))
+    out = df.mapInPandas(make_extract_iterator(), schema=EXTRACT_SCHEMA)
+    if with_metrics:
+        out = out.observe(
+            "extract_metrics",
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars_out").alias("chars_out"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "errors"
+            ),
+        )
+    return out

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the extraction workload (SURVEY.md §4): Python-worker CPU is the
+cost center, the only required exchange is the explicit salted repartition,
+so we want AQE on (shuffle coalescing + skew split for the relational tier),
+Arrow batches sized so one batch of HTML fits worker memory, and parquet
+scans that split well.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dhtmlparser3-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2048,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2 partitions per core keeps the UDF stage saturated without
+        # per-task overhead dominating at sandbox scale; a real cluster run
+        # sets this to 2-3x total executor cores.
+        shuffle_partitions = max(2 * cpus, 8)
+
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
+        )
+        # html docs are big strings; keep scan partitions modest so the
+        # python workers get balanced slices
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,121 @@
+"""End-to-end Spark extraction tests — the north-star invariant.
+
+1. Template-spec sanity: EXPECTED_CONTENT_STR / EXPECTED_MAIN_TEXT compiled
+   in pure Python must equal the vendored reference run on the same html.
+2. Byte-identity at sf0.001: the Spark pipeline's extracted_text equals
+   dhtmlparser3.parse(html).content_str() for EVERY url.
+3. Fixture-corpus pages (malformed snippets) round through Spark identically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dhtmlparser3_spark.functions import extract as fx
+from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+from dhtmlparser3_spark.sources import pages as pg
+from tests.corpus import SNIPPETS
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_template_specs_match_reference(ref):
+    """The shared piece-lists (Spark col + DuckDB oracle + py) are RIGHT:
+    reference-parse(template(html)) == compiled expected strings."""
+    samples = [
+        (0, "plain words here"),
+        (1, "ampersand & less < more > quote \" tick '"),
+        (2, "unicode π € \xa0 ok"),
+        (3, ""),
+        (4, "multi\nline\ttext"),
+        (7, "already &amp; escaped-looking"),
+    ]
+    for doc_id, text in samples:
+        for t in range(5):
+            did = doc_id * 5 + t  # force template t
+            html = pg.compile_py(pg.TEMPLATES[t], did, text)
+            dom = ref.parse(html)
+            want_cs = pg.compile_py(pg.EXPECTED_CONTENT_STR[t], did, text)
+            assert dom.content_str() == want_cs, f"template {t} content_str"
+            # main_text oracle: reference-side = strip script/style + cwt
+            for bad in dom.find("script") + dom.find("style"):
+                dom.remove(bad)
+            want_mt = pg.compile_py(pg.EXPECTED_MAIN_TEXT[t], did, text)
+            assert dom.content_without_tags() == want_mt, f"template {t} main_text"
+
+
+def test_extract_series_matches_reference(ref):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    htmls = [
+        pg.compile_py(pg.TEMPLATES[int(r.doc_id) % 5], int(r.doc_id), r.text)
+        for r in docs.itertuples()
+    ]
+    out = fx.extract_series(pd.Series(htmls))
+    for h, got in zip(htmls, out["extracted_text"]):
+        assert got == ref.parse(h).content_str()
+    assert out["error"].isna().all()
+
+
+@pytest.mark.spark
+def test_spark_pipeline_byte_identity(spark, ref):
+    pages = pg.build_pages(spark, SF)
+    res = extract_pages(pages, parallelism=8).toPandas()
+    assert len(res) == 500
+    assert res["error"].isna().all()
+    # oracle: vendored reference on the driver
+    src = pg.build_pages(spark, SF).select(
+        "url", "html").toPandas()
+    want = {
+        r.url: ref.parse(bytes(r.html).decode("utf-8")).content_str()
+        for r in src.itertuples()
+    }
+    got = dict(zip(res["url"], res["extracted_text"]))
+    assert got == want
+
+
+@pytest.mark.spark
+def test_spark_udfs_on_fixture_snippets(spark, ref):
+    """Malformed-HTML snippets through the Spark UDF path."""
+    rows = [(f"case{i:03d}", s.encode("utf-8")) for i, s in enumerate(SNIPPETS)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = df.select(
+        "url",
+        fx.udf_content_str()("html").alias("cs"),
+        fx.udf_to_string()("html").alias("ts"),
+        fx.udf_main_text()("html").alias("mt"),
+    ).toPandas()
+    for url, cs, ts, mt in out.itertuples(index=False):
+        s = SNIPPETS[int(url[4:])]
+        dom = ref.parse(s)
+        assert cs == dom.content_str(), f"content_str {s!r}"
+        assert ts == dom.to_string(), f"to_string {s!r}"
+
+
+@pytest.mark.spark
+def test_spans_slice_back_into_source(spark):
+    pages = pg.build_pages(spark, SF).limit(50)
+    res = extract_pages(pages, parallelism=4, with_metrics=False)
+    rows = res.select("url", "spans").toPandas()
+    src = pages.select("url", "html").toPandas()
+    html_by_url = {r.url: bytes(r.html).decode("utf-8") for r in src.itertuples()}
+    for r in rows.itertuples():
+        h = html_by_url[r.url]
+        for sp in r.spans:
+            assert 0 <= sp["src_start"] <= sp["src_end"] <= len(h)
+
+
+@pytest.mark.spark
+def test_nodes_flattening(spark, ref):
+    rows = [("u0", b"<div a=1><p>x</p><br>y</div>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    nodes = df.select(fx.udf_nodes()("html").alias("nodes")).collect()[0].nodes
+    names = [n.name for n in nodes if n.kind == 1]
+    assert names[0] == "div"
+    assert "p" in names and "br" in names
+    # interval containment: every child inside its parent's subtree range
+    by_id = {n.node_id: n for n in nodes}
+    for n in nodes:
+        if n.parent_id >= 0:
+            p = by_id[n.parent_id]
+            assert p.node_id < n.node_id < p.subtree_end
