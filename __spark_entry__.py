@@ -386,10 +386,11 @@ def _sql_extract_stats() -> str:
         FROM documents GROUP BY 1
       )
       SELECT per.template AS template,
-             per.n_docs AS n_docs,
-             per.n_docs * tagm.tags AS sum_tags,
-             per.n_docs * txtm.txt - per.n_empty * txtm.payload AS sum_text_nodes,
-             0 AS n_errors
+             CAST(per.n_docs AS BIGINT) AS n_docs,
+             CAST(per.n_docs * tagm.tags AS BIGINT) AS sum_tags,
+             CAST(per.n_docs * txtm.txt - per.n_empty * txtm.payload AS BIGINT)
+               AS sum_text_nodes,
+             CAST(0 AS BIGINT) AS n_errors
       FROM per JOIN tagm USING (template) JOIN txtm USING (template)
     """
 
@@ -404,7 +405,7 @@ def _sql_node_tag_counts() -> str:
       WITH m(template, name, cnt) AS (VALUES {values}),
       per AS (SELECT doc_id % 5 AS template, count(*) AS n_docs
               FROM documents GROUP BY 1)
-      SELECT m.name AS name, SUM(per.n_docs * m.cnt) AS n
+      SELECT m.name AS name, CAST(SUM(per.n_docs * m.cnt) AS BIGINT) AS n
       FROM m JOIN per USING (template) GROUP BY 1
     """
 

@@ -176,8 +176,25 @@ def extract_one(html: str):
     )
 
 
+_EXTRACT_COLS = (
+    "extracted_text",
+    "main_text",
+    "n_nodes",
+    "n_tags",
+    "n_text_nodes",
+    "n_chars_out",
+    "spans",
+    "error",
+)
+
+
 def extract_series(html: pd.Series) -> pd.DataFrame:
-    """Vectorized batch extraction over a Series of html bytes/str."""
+    """Vectorized batch extraction over a Series of html bytes/str.
+
+    Column-wise frame construction: building a DataFrame from row tuples
+    costs ~28µs/row in pandas — at 10^12 docs that is pure waste, so we
+    transpose once and hand pandas ready columns.
+    """
     gc_was_enabled = gc.isenabled()
     gc.disable()  # alloc-heavy build loop, parity with parser.py:38
     try:
@@ -185,20 +202,16 @@ def extract_series(html: pd.Series) -> pd.DataFrame:
     finally:
         if gc_was_enabled:
             gc.enable()
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "extracted_text",
-            "main_text",
-            "n_nodes",
-            "n_tags",
-            "n_text_nodes",
-            "n_chars_out",
-            "spans",
-            "error",
-        ],
+    if rows:
+        cols = zip(*rows)
+    else:
+        cols = ([] for _ in _EXTRACT_COLS)
+    out = pd.DataFrame(
+        {name: list(c) for name, c in zip(_EXTRACT_COLS, cols)},
         index=html.index,
+        copy=False,
     )
+    return out
 
 
 def make_extract_iterator(passthrough=("url", "warc_ts", "lang")):

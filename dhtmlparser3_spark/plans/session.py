@@ -18,7 +18,7 @@ def get_spark(
     app_name: str = "dhtmlparser3-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int = 8192,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     if cpus is None:

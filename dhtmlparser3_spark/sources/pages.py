@@ -233,6 +233,15 @@ def build_pages(
     inside whole-stage codegen; no Python is involved until extraction.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The docs parquet is one file → one scan partition; spread the CHEAP
+    # rows (doc_id/text/source/lang, ~350B) across the cluster BEFORE the
+    # html construction so the build is parallel and the broadcast
+    # multiplier fans out locally.  Without this, one task would synthesize
+    # the whole corpus — Amdahl's law then caps any scaling measurement.
+    if repartition is None:
+        repartition = spark.sparkContext.defaultParallelism * 2
+    if repartition:
+        docs = docs.repartition(repartition)
     if multiplier > 1:
         reps = spark.range(multiplier).withColumnRenamed("id", "rep")
         docs = docs.crossJoin(F.broadcast(reps)).withColumn(
@@ -250,8 +259,6 @@ def build_pages(
         F.col("lang"),
         F.col("doc_id"),
     )
-    if repartition:
-        out = out.repartition(repartition)
     return out
 
 
