@@ -1,0 +1,79 @@
+"""Structured Streaming extraction (SURVEY.md §2.9 / §7 step 8).
+
+The batch pipeline lifts unchanged into streaming:
+
+* source: ``spark.readStream`` over a pages directory (file source —
+  each new parquet file is a micro-batch; in production: Iceberg/Kafka),
+* transform: EITHER the direct mapInPandas plan (fully incremental,
+  checkpointed by the engine) OR ``foreachBatch`` reusing the exact batch
+  ``extract_pages`` job — foreachBatch is the north-star shape because it
+  keeps the salted repartition and lets the sink be transactional per
+  micro-batch (epoch id = resume watermark),
+* late data: extraction is stateless per document, so no watermark is
+  needed for the parse itself; the windowed-metrics stream below shows the
+  stateful side (event-time tumbling counts with a watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dhtmlparser3_spark.functions.extract import EXTRACT_SCHEMA, make_extract_iterator
+from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "doc_id bigint"
+)
+
+
+def read_pages_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def extract_stream(pages_stream: DataFrame) -> DataFrame:
+    """Incremental plan: streaming mapInPandas (no shuffle, stateless)."""
+    return pages_stream.select("url", "warc_ts", "lang", "html").mapInPandas(
+        make_extract_iterator(), schema=EXTRACT_SCHEMA
+    )
+
+
+def start_foreach_batch(
+    pages_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    parallelism: int = 8,
+):
+    """foreachBatch: reuse the full batch job (salted repartition included)
+    per micro-batch; the engine's checkpoint gives exactly-once file sinks."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        out = extract_pages(batch_df, parallelism=parallelism, with_metrics=False)
+        out.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            output_path
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_metrics_stream(extracted: DataFrame) -> DataFrame:
+    """Stateful side: event-time tumbling doc counts with a 1h watermark
+    (late rows beyond it are dropped from the aggregate)."""
+    return (
+        extracted.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.window("warc_ts", "10 minutes"), F.col("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_out").alias("chars_out"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""Production entrypoint for spark-submit (north-star packaging).
+
+    python scripts/build_pyfiles.py  # → dist/dhtmlparser3_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/dhtmlparser3_spark.zip \
+        jobs/extract_job_main.py \
+        --sf-dir /root/testdata/sf0.001 --output /tmp/out \
+        --lineage /tmp/out_lineage --buckets 64 [--max-buckets 8]
+
+Runs one resumable micro-run of the extraction pipeline; re-invoking after
+a kill resumes from the lineage table (see pipeline/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--max-buckets", type=int, default=None)
+    ap.add_argument("--multiplier", type=int, default=1)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("dhtmlparser3-extract").getOrCreate()
+
+    from dhtmlparser3_spark.pipeline.lineage import run_extract_job, verify_run
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, args.sf_dir, multiplier=args.multiplier)
+    result = run_extract_job(
+        spark,
+        pages,
+        args.output,
+        args.lineage,
+        n_buckets=args.buckets,
+        input_path=args.sf_dir,
+        max_buckets_per_run=args.max_buckets,
+    )
+    bad = verify_run(spark, args.output, args.lineage).count()
+    result["digest_mismatches"] = bad
+    print(json.dumps(result))
+    spark.stop()
+    return 0 if bad == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
