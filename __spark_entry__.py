@@ -138,6 +138,22 @@ def _q_extract_roundtrip(spark, sf_dir):
     return pages.select("url", udf_to_string()("html").alias("value"))
 
 
+def _q_content_without_tags(spark, sf_dir):
+    from dhtmlparser3_spark.functions.extract import udf_content_without_tags
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select("url", udf_content_without_tags()("html").alias("value"))
+
+
+def _q_prettify(spark, sf_dir):
+    from dhtmlparser3_spark.functions.extract import udf_prettify
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select("url", udf_prettify()("html").alias("value"))
+
+
 def _q_extract_stats(spark, sf_dir):
     from dhtmlparser3_spark.pipeline.extract_job import extract_pages
     from dhtmlparser3_spark.sources.pages import build_pages
@@ -323,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_content_str": _q_extract_content_str,
         "extract_main_text": _q_extract_main_text,
         "extract_roundtrip": _q_extract_roundtrip,
+        "content_without_tags": _q_content_without_tags,
+        "prettify": _q_prettify,  # byte-parity pinned in pytest; rows-only here
         "extract_stats": _q_extract_stats,
         "node_tag_counts": _q_node_tag_counts,
         "find_attr_ci": _q_find_attr,
@@ -583,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_content_str": _sql_extract("content_str"),
         "extract_main_text": _sql_extract("main_text"),
         "extract_roundtrip": _sql_roundtrip(),
+        "content_without_tags": _sql_extract("content_without_tags"),
         "extract_stats": _sql_extract_stats(),
         "node_tag_counts": _sql_node_tag_counts(),
         "find_attr_ci": "SELECT count(*) AS n_matches FROM documents WHERE doc_id % 5 = 4",

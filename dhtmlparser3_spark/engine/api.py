@@ -40,6 +40,30 @@ def parse(string: str, case_insensitive_parameters: bool = True) -> "Node":
     return Node(a, a.result_root)
 
 
+class FileParser:
+    """File round-trip (reference __init__.py:9-21).
+
+    Bug-parity note: the reference *ignores* ``case_insensitive_parameters``
+    in FileParser (__init__.py:14 always calls plain ``parse``); we keep
+    that behavior and document it rather than silently fixing it.
+    """
+
+    def __init__(self, path: str, case_insensitive_parameters: bool = True):
+        self.path = path
+        with open(path) as f:
+            self.dom = parse(f.read())
+
+    def write(self, path: Optional[str] = None) -> None:
+        if path is None:
+            path = self.path
+        with open(path, "w") as f:
+            f.write(str(self.dom))
+
+
+def parse_file(path: str, case_insensitive_parameters: bool = True) -> FileParser:
+    return FileParser(path, case_insensitive_parameters)
+
+
 def Tag(name, parameters=None, content=None, is_non_pair=False) -> "Node":
     """Construct a free-standing tag node (reference Tag.__init__,
     tag.py:26-41) backed by its own one-node arena."""

@@ -283,6 +283,33 @@ def udf_to_string():
     return _to_string
 
 
+def udf_prettify():
+    """Re-indented serialization (Tag.prettify, tag.py:422-478)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _prettify(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda h: serialize.prettify(parse_arena(decode_html(h)))
+        )
+
+    return _prettify
+
+
+def udf_content_without_tags():
+    """Raw text concat, comments dropped (tag.py:75-88) — no boilerplate
+    strip (contrast udf_main_text)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _cwt(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda h: serialize.content_without_tags(parse_arena(decode_html(h)))
+        )
+
+    return _cwt
+
+
 def udf_nodes():
     """html → flattened node array (relational tier input)."""
     from pyspark.sql.functions import pandas_udf

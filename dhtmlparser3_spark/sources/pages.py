@@ -127,6 +127,22 @@ EXPECTED_MAIN_TEXT: List[List[Piece]] = [
     [("text",)],
 ]
 
+# content_without_tags WITHOUT boilerplate strip: script/style text stays,
+# in document order (title, style, script, payload, footer for template 1)
+EXPECTED_CWT: List[List[Piece]] = [
+    [("id",), ("text",)],
+    [
+        ("id",),
+        ("lit", "p { }"),
+        ("lit", "var x = 1;"),
+        ("text",),
+        ("lit", "(c) example.com"),
+    ],
+    [("text",), ("lit", "tail")],
+    [("text",), ("lit", " & <tag> AA \xa0 \xa9 &unknown;")],
+    [("text",)],
+]
+
 
 # --- compilers ---------------------------------------------------------------
 
@@ -269,6 +285,8 @@ def pages_oracle_sql(sf_dir: str, what: str) -> str:
         val = case_over_templates_sql(EXPECTED_CONTENT_STR)
     elif what == "main_text":
         val = case_over_templates_sql(EXPECTED_MAIN_TEXT)
+    elif what == "content_without_tags":
+        val = case_over_templates_sql(EXPECTED_CWT)
     elif what == "html":
         val = case_over_templates_sql(TEMPLATES)
     else:  # pragma: no cover

@@ -36,6 +36,20 @@ def test_comment_construct(ref):
     assert api.Comment("  ").to_string() == dhtmlparser3.Comment("  ").to_string()
 
 
+def test_file_parser_roundtrip(ref, tmp_path):
+    import dhtmlparser3
+
+    src = tmp_path / "page.html"
+    src.write_text("<html><body><p a=1>x &amp; y</p><br></body></html>")
+    rfp = dhtmlparser3.parse_file(str(src))
+    ofp = api.parse_file(str(src))
+    assert str(ofp.dom) == str(rfp.dom)
+    rout, oout = tmp_path / "r.html", tmp_path / "o.html"
+    rfp.write(str(rout))
+    ofp.write(str(oout))
+    assert oout.read_text() == rout.read_text()
+
+
 def test_nonpair_render(ref):
     import dhtmlparser3
 

@@ -39,6 +39,8 @@ def test_template_specs_match_reference(ref):
             want_cs = pg.compile_py(pg.EXPECTED_CONTENT_STR[t], did, text)
             assert dom.content_str() == want_cs, f"template {t} content_str"
             # main_text oracle: reference-side = strip script/style + cwt
+            want_cwt = pg.compile_py(pg.EXPECTED_CWT[t], did, text)
+            assert dom.content_without_tags() == want_cwt, f"template {t} cwt"
             for bad in dom.find("script") + dom.find("style"):
                 dom.remove(bad)
             want_mt = pg.compile_py(pg.EXPECTED_MAIN_TEXT[t], did, text)
