@@ -286,6 +286,13 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, k=5, query_mod=50)
 
 
+def _q_embedding_dups(spark, sf_dir):
+    from dhtmlparser3_spark.functions.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs(emb, tau=0.9)
+
+
 def _q_media_meta(spark, sf_dir):
     from dhtmlparser3_spark.functions.multimodal import decode_media, media_corpus
 
@@ -318,6 +325,13 @@ def _q_events_hourly(spark, sf_dir):
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+def _q_sessions_batch(spark, sf_dir):
+    from dhtmlparser3_spark.streaming.sessions import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(events, gap_minutes=30).drop("sess_id")
 
 
 def _q_orders_segment(spark, sf_dir):
@@ -355,9 +369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only by design
+        "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "host_topk": _q_host_topk,
         "events_hourly": _q_events_hourly,
+        "sessions_batch": _q_sessions_batch,
         "orders_segment": _q_orders_segment,
     }
 
@@ -563,6 +579,43 @@ def _sql_cosine_topk(k: int = 5, query_mod: int = 50) -> str:
     """
 
 
+def _sql_embedding_dups(tau: float = 0.9) -> str:
+    from dhtmlparser3_spark.functions.similarity import (
+        EMB_DUP_EPS,
+        EMB_DUP_MOD,
+        EMB_DUP_OFFSET,
+    )
+
+    dot = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "x -> x[1] * x[2]))"
+    )
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x -> x * x)))"
+    return f"""
+      WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS embedding
+        FROM embeddings
+      ),
+      corpus AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id,
+               [embedding[i] + {EMB_DUP_EPS} * (((i - 1) % 3) - 1)
+                for i in generate_series(1, len(embedding))] AS embedding
+        FROM base WHERE vec_id % {EMB_DUP_MOD} = 0
+      ),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {dot} / ({na} * {nb}) AS sim
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      )
+      SELECT a_id, b_id, CAST(FLOOR(100 * sim) AS INT) AS sim_pct
+      FROM pairs WHERE sim >= {tau}
+    """
+
+
 def _sql_media_meta() -> str:
     return """
       WITH base AS (
@@ -618,8 +671,30 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "cosine_topk": _sql_cosine_topk(),
         # ann_lsh: intentionally omitted — approximate; recall pinned in tests
+        "embedding_dups": _sql_embedding_dups(),
         "media_meta": _sql_media_meta(),
         "host_topk": _sql_host_topk(),
+        "sessions_batch": """
+          WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN COALESCE(
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT),
+                       1801) > 1800
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          ),
+          sessed AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+          )
+          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                 count(*)::INT AS n_events
+          FROM sessed GROUP BY user_id, sess_id
+        """,
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "count(*) AS n_events, min(event_id) AS min_event_id, "

@@ -76,6 +76,59 @@ def cosine_topk(
     )
 
 
+EMB_DUP_MOD = 9
+EMB_DUP_OFFSET = 1_000_000
+EMB_DUP_EPS = 0.05
+
+
+def embedding_dup_corpus(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """embeddings ∪ deterministic near-dup copies: every (vec_id % 9 == 0)
+    vector gets a copy perturbed by ±0.05 in a fixed index pattern —
+    cosine ≈ 0.997 to its source, far above any natural pair (max ≈ 0.60
+    in this corpus), so the τ=0.9 threshold has a wide numeric margin on
+    both engines.  float32→double then double arithmetic is IEEE-exact in
+    both Spark and DuckDB, so the constructed vectors are bit-identical."""
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    pert = base.where(F.col("vec_id") % EMB_DUP_MOD == 0).select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") + F.lit(EMB_DUP_EPS) * ((i % 3) - 1),
+        ).alias("embedding"),
+    )
+    return base.select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    ).unionByName(pert)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute): all pairs with cos ≥ τ.
+
+    Scale note: quadratic by nature — at 10^12 rows you run the LSH bucket
+    variant (lsh_ann_topk's bucketing) to generate candidates and verify
+    them with this exact cosine; the brute form is the correctness oracle
+    and the small-corpus baseline.
+    """
+    corpus = embedding_dup_corpus(emb, id_col, vec_col)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    sim = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+        norm_col(F.col("a.embedding")) * norm_col(F.col("b.embedding"))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= tau)
+        .select("a_id", "b_id", F.floor(100 * F.col("sim")).cast("int").alias("sim_pct"))
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int):
     """Deterministic pseudo-random unit-free hyperplanes from md5 — no RNG
     object, reproducible across workers and sessions."""
