@@ -237,65 +237,69 @@ class Arena:
 
 
 def build_arena(tokens: Iterable[tuple], case_insensitive: bool = True) -> Arena:
-    """Stack-machine tree build — parser.py:37-93 on arrays."""
+    """Stack-machine tree build — parser.py:37-93 on arrays.
+
+    The arena appends are inlined with bound methods: this loop allocates
+    every node of every document at 10^12-doc scale, and attribute/method
+    lookups per node are ~25% of build time in CPython.
+    """
     a = Arena(case_insensitive)
     root = a.new_node(TAG, "")  # virtual root
     stack = [root]
     top = root
 
+    kind_l, name_l, attrs_l = a.kind, a.name, a.attrs
+    text_l, np_l, ch_l = a.text, a.non_pair, a.children
+    par_l, s0_l, s1_l = a.parent, a.src_start, a.src_end
+    k_app, n_app, a_app = kind_l.append, name_l.append, attrs_l.append
+    t_app, np_app, c_app = text_l.append, np_l.append, ch_l.append
+    p_app, s0_app, s1_app = par_l.append, s0_l.append, s1_l.append
+
+    nid = 0
     for tok in tokens:
         k = tok[0]
-        if k == TEXT:
-            nid = a.new_node(TEXT, text=tok[1], parent=top, src_start=tok[2], src_end=tok[3])
-            a.children[top].append(nid)
-            continue
-        if k == COMMENT:
-            nid = a.new_node(
-                COMMENT, text=tok[1], parent=top, src_start=tok[2], src_end=tok[3]
-            )
-            a.children[top].append(nid)
-            continue
-
-        _, name, params, non_pair, is_end, s0, s1 = tok
-        if non_pair:
-            nid = a.new_node(
-                TAG,
-                name,
-                fold_attrs(params, case_insensitive),
-                non_pair=True,
-                parent=top,
-                src_start=s0,
-                src_end=s1,
-            )
-            a.children[top].append(nid)
-            continue
-
-        if is_end:
-            closed = -1
-            for x in reversed(stack):
-                if a.name[x] == name:  # case-sensitive (parser.py:61)
-                    closed = x
-                    break
-            if closed < 0:
-                continue  # stray end tag → dropped (parser.py:65-66)
-            if closed == top:
-                stack.pop()
-                top = stack[-1]
+        if k == TAG:
+            _, name, params, non_pair, is_end, s0, s1 = tok
+            if is_end and not non_pair:
+                closed = -1
+                for x in reversed(stack):
+                    if name_l[x] == name:  # case-sensitive (parser.py:61)
+                        closed = x
+                        break
+                if closed < 0:
+                    continue  # stray end tag → dropped (parser.py:65-66)
+                if closed == top:
+                    stack.pop()
+                    top = stack[-1]
+                    continue
+                top = _reshape_non_pair_tags(a, stack, closed)
                 continue
-            top = _reshape_non_pair_tags(a, stack, closed)
-            continue
-
-        nid = a.new_node(
-            TAG,
-            name,
-            fold_attrs(params, case_insensitive),
-            parent=top,
-            src_start=s0,
-            src_end=s1,
-        )
-        a.children[top].append(nid)
-        stack.append(nid)
-        top = nid
+            nid += 1
+            k_app(TAG)
+            n_app(name)
+            a_app(fold_attrs(params, case_insensitive) if params else [])
+            t_app("")
+            np_app(non_pair)
+            c_app([])
+            p_app(top)
+            s0_app(s0)
+            s1_app(s1)
+            ch_l[top].append(nid)
+            if not non_pair:
+                stack.append(nid)
+                top = nid
+        else:  # TEXT / COMMENT
+            nid += 1
+            k_app(k)
+            n_app("")
+            a_app([])
+            t_app(tok[1])
+            np_app(False)
+            c_app([])
+            p_app(top)
+            s0_app(tok[2])
+            s1_app(tok[3])
+            ch_l[top].append(nid)
 
     if len(stack) > 1:
         _reshape_non_pair_tags(a, stack, root)
@@ -364,6 +368,4 @@ def parse_arena(
     row.  Kept strict by default for byte-parity.
     """
     s = strip_bom(string)
-    return build_arena(
-        lexer.lex_iter(s), case_insensitive=case_insensitive_parameters
-    )
+    return build_arena(lexer.lex(s), case_insensitive=case_insensitive_parameters)

@@ -32,11 +32,19 @@ Token tuples (kind first, source span last — spans are byte offsets into the
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, List, Tuple
 
 TEXT = 0
 TAG = 1
 COMMENT = 2
+
+# maximal runs of non-stop chars — used to jump instead of per-char loops;
+# semantics identical to the reference's peek loops because a run ends at
+# the FIRST stop char and EOF acts as a stop
+_NAME_RUN = re.compile(r"[^> \n\t</]*")
+_KEY_RUN = re.compile(r"[^ <=/>\t\n]*")
+_VAL_RUN = re.compile(r"[^ </>'\"\t\n]*")
 
 MAX_ENTITY_LENGTH = 20  # reference tokenizer.py:14
 
@@ -93,18 +101,20 @@ def decode_entity(raw: str) -> str:
 
 
 def lex(s: str) -> List[tuple]:
-    return list(lex_iter(s))
+    """Token list with adjacent-text merging (tokenizer.py:27-53).
 
-
-def lex_iter(s: str) -> Iterator[tuple]:
-    """Token stream with adjacent-text merging (tokenizer.py:27-53)."""
+    List-building (not a generator): the suspend/resume cost of a generator
+    is measurable at 10^12-doc scale and the whole token list of one
+    document is small.
+    """
     n = len(s)
     if n <= 1:
         # single-char fast path (tokenizer.py:28-30); empty input degenerates
         # to one empty text token via the text scanner.
-        yield (TEXT, s, 0, n)
-        return
+        return [(TEXT, s, 0, n)]
 
+    out: List[tuple] = []
+    append = out.append
     pend = None
     i = 0
     while i < n:
@@ -114,10 +124,15 @@ def lex_iter(s: str) -> Iterator[tuple]:
         elif pend[0] == TEXT and tok[0] == TEXT:
             pend = (TEXT, pend[1] + tok[1], pend[2], tok[3])
         else:
-            yield pend
+            append(pend)
             pend = tok
     if pend is not None:
-        yield pend
+        append(pend)
+    return out
+
+
+def lex_iter(s: str) -> Iterator[tuple]:
+    return iter(lex(s))
 
 
 def _scan(s: str, i: int, n: int) -> Tuple[tuple, int]:
@@ -217,20 +232,12 @@ def _tag_scan(s: str, i: int, n: int) -> Tuple[tuple, int]:
 
 
 def _tag_name(s: str, p: int, end: int) -> Tuple[str, int]:
-    # name runs until one of "> \n\t</" via *peek* (tokenizer.py:128-137)
+    # name = first char + run until one of "> \n\t</" (tokenizer.py:128-137);
+    # the first char is included even if it is itself a stop char
     if p > end:
         raise _Recover(p)
-    buf = s[p]
-    while p <= end:
-        if p < end:
-            nxt = s[p + 1]
-            if nxt in _NAME_STOP:
-                return buf, p + 1
-            buf += nxt
-            p += 1
-        else:
-            return buf, p + 1  # peek at EOF == "" == universal stop
-    raise _Recover(p)
+    q = _NAME_RUN.match(s, p + 1).end()
+    return s[p:q], q  # cursor lands ON the stop char (or n at EOF)
 
 
 def _param_name(s: str, p: int, end: int):
@@ -239,17 +246,8 @@ def _param_name(s: str, p: int, end: int):
         return None, p  # tokenizer.py:140-141
     if p > end:
         raise _Recover(p)
-    buf = c
-    while p <= end:
-        if p < end:
-            nxt = s[p + 1]
-            if nxt in _KEY_STOP:
-                return buf, p + 1
-            buf += nxt
-            p += 1
-        else:
-            return buf, p + 1
-    raise _Recover(p)
+    q = _KEY_RUN.match(s, p + 1).end()
+    return s[p:q], q
 
 
 def _param_value(s: str, p: int, end: int) -> Tuple[str, int]:
@@ -258,19 +256,11 @@ def _param_value(s: str, p: int, end: int) -> Tuple[str, int]:
         return _quoted_value(s, p, end)
     if p > end:
         raise _Recover(p)
-    buf = c
-    while p <= end:
-        if p < end:
-            nxt = s[p + 1]
-            if nxt in _VAL_STOP:
-                if nxt == "'" or nxt == '"':
-                    p += 1  # a stray trailing quote is consumed AND dropped
-                return buf, p + 1
-            buf += nxt
-            p += 1
-        else:
-            return buf, p + 1
-    raise _Recover(p)
+    q = _VAL_RUN.match(s, p + 1).end()
+    buf = s[p:q]
+    if q <= end and (s[q] == "'" or s[q] == '"'):
+        return buf, q + 1  # stray trailing quote consumed AND dropped
+    return buf, q
 
 
 def _quoted_value(s: str, p: int, end: int) -> Tuple[str, int]:

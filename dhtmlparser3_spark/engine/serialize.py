@@ -80,32 +80,42 @@ _LIT = 1
 
 def _serialize_tag(a: Arena, root: int, out: List[str]) -> None:
     """Append the full to_string of tag/comment node ``root`` to ``out``."""
+    kind_l, name_l, text_l = a.kind, a.name, a.text
+    np_l, ch_l, attrs_l = a.non_pair, a.children, a.attrs
+    emit = out.append
+    esc = html.escape
     stack = [(_OPEN, root)]
+    push = stack.append
     while stack:
         op, x = stack.pop()
         if op == _LIT:
-            out.append(x)
+            emit(x)
             continue
-        k = a.kind[x]
+        k = kind_l[x]
         if k == COMMENT:
-            out.append(comment_to_string(a.text[x]))
+            emit(comment_to_string(text_l[x]))
             continue
         if k == TEXT:
             # only reachable if a text node is serialized directly
-            out.append(a.text[x])
+            emit(text_l[x])
             continue
-        name = a.name[x]
-        out.append(tag_to_str(a, x))
-        raw = name in _DONT_ESCAPE
-        if name and not a.non_pair[x]:
-            stack.append((_LIT, f"</{name}>"))
-        for ch in reversed(a.children[x]):
-            ck = a.kind[ch]
-            if ck == TEXT:
-                t = a.text[ch]
-                stack.append((_LIT, t if raw else html.escape(t)))
+        name = name_l[x]
+        non_pair = np_l[x]
+        if name:
+            if non_pair:
+                emit(f"<{name}{params_to_str(attrs_l[x])} />")
             else:
-                stack.append((_OPEN, ch))
+                emit(f"<{name}{params_to_str(attrs_l[x])}>")
+                push((_LIT, f"</{name}>"))
+            raw = name in _DONT_ESCAPE
+        else:
+            raw = False
+        for ch in reversed(ch_l[x]):
+            if kind_l[ch] == TEXT:
+                t = text_l[ch]
+                push((_LIT, t if raw else esc(t)))
+            else:
+                push((_OPEN, ch))
 
 
 def to_string(a: Arena, nid: Optional[int] = None) -> str:

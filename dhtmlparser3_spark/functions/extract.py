@@ -153,6 +153,38 @@ def text_spans(a: Arena):
     return out
 
 
+def _main_text_and_spans(a: Arena):
+    """One fused pre-order walk: boilerplate-stripped text + text spans
+    (node_id = pre-order rank, matching flatten_nodes numbering)."""
+    kind_l, name_l, text_l, ch_l = a.kind, a.name, a.text, a.children
+    s0_l, s1_l = a.src_start, a.src_end
+    mtext: List[str] = []
+    spans = []
+    idx = 0
+    root = a.result_root
+    stack = [(root, True)]
+    while stack:
+        nid, keep = stack.pop()
+        k = kind_l[nid]
+        if k == TEXT:
+            if keep:
+                mtext.append(text_l[nid])
+            if s0_l[nid] >= 0:
+                spans.append(
+                    {"node_id": idx, "src_start": s0_l[nid], "src_end": s1_l[nid]}
+                )
+        elif k == TAG:
+            # the root's own name is never tested (main_text strips
+            # script/style DESCENDANTS, matching find()+remove() semantics)
+            child_keep = keep and (
+                nid == root or name_l[nid].lower() not in _BOILERPLATE_NAMES
+            )
+            for ch in reversed(ch_l[nid]):
+                stack.append((ch, child_keep))
+        idx += 1
+    return "".join(mtext), spans
+
+
 def extract_one(html: str):
     """Parse one document → (extracted_text, main_text, counts, spans, error)."""
     try:
@@ -160,10 +192,11 @@ def extract_one(html: str):
     except Exception as e:  # noqa: BLE001 — error-row at scale, never a crash
         return None, None, 0, 0, 0, 0, None, f"{type(e).__name__}: {e}"
     content = serialize.content_str(a)
-    mtext = main_text(a)
-    n_nodes = len(a.kind)
-    n_tags = sum(1 for k in a.kind if k == TAG)
-    n_text = sum(1 for k in a.kind if k == TEXT)
+    mtext, spans = _main_text_and_spans(a)
+    kinds = a.kind
+    n_nodes = len(kinds)
+    n_tags = kinds.count(TAG)
+    n_text = kinds.count(TEXT)
     return (
         content,
         mtext,
@@ -171,7 +204,7 @@ def extract_one(html: str):
         n_tags,
         n_text,
         len(content),
-        text_spans(a),
+        spans,
         None,
     )
 
