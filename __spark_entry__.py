@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 
 SF001 = "/root/testdata/sf0.001"
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread to cluster parallelism (the sf parquet is one
+    file → one split; expression-heavy queries would otherwise run on one
+    core — see plans/layout.py)."""
+    from dhtmlparser3_spark.plans.layout import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dhtmlparser3_spark.plans.layout import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (mirror the Spark-side constants — imported, not copied)
 # ---------------------------------------------------------------------------
@@ -216,7 +231,7 @@ def _q_descendant_divs(spark, sf_dir):
 def _q_token_count(spark, sf_dir):
     from dhtmlparser3_spark.functions.textops import with_token_count
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return with_token_count(docs).select(
         "doc_id", F.col("n_tokens").cast("int").alias("n_tokens")
     )
@@ -225,7 +240,7 @@ def _q_token_count(spark, sf_dir):
 def _q_quality(spark, sf_dir):
     from dhtmlparser3_spark.functions.textops import with_quality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return with_quality(docs).select(
         "doc_id", "n_chars", "n_tokens", "n_stopwords", "n_punct", "n_alpha",
         "quality",
@@ -235,7 +250,7 @@ def _q_quality(spark, sf_dir):
 def _q_lang_id(spark, sf_dir):
     from dhtmlparser3_spark.functions.textops import with_lang_id
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return with_lang_id(docs).select(
         "doc_id", "hits_en", "hits_de", "hits_fr", "lang_pred"
     )
@@ -244,7 +259,7 @@ def _q_lang_id(spark, sf_dir):
 def _q_fingerprints(spark, sf_dir):
     from dhtmlparser3_spark.functions.textops import fingerprints
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return fingerprints(docs, k=5, window=4)
 
 
@@ -275,21 +290,21 @@ def _q_simhash(spark, sf_dir):
 def _q_cosine_topk(spark, sf_dir):
     from dhtmlparser3_spark.functions.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return cosine_topk(emb, k=5, query_mod=50)
 
 
 def _q_ann_lsh(spark, sf_dir):
     from dhtmlparser3_spark.functions.similarity import lsh_ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return lsh_ann_topk(emb, k=5, query_mod=50)
 
 
 def _q_embedding_dups(spark, sf_dir):
     from dhtmlparser3_spark.functions.similarity import embedding_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return embedding_dup_pairs(emb, tau=0.9)
 
 

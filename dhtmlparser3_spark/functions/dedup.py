@@ -40,8 +40,12 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     give the correctness gate real positives.  The same construction is a
     three-branch UNION in the DuckDB oracle.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    from dhtmlparser3_spark.plans.layout import spread
+
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
     )
     toks = tokens_col("text")
     keep = F.ceil(F.size(toks) * TRUNC_NUM / TRUNC_DEN).cast("int")
@@ -70,37 +74,80 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Java-exact tokenization twins (trim = String.trim: strips chars <= 0x20;
+# split = java.util.regex \s+ which is ASCII-only): byte-identical shingles
+# whether built by the SQL expressions or the Arrow UDF below.
+_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+_WS_RE = None  # compiled lazily inside the worker
+
+
+def _shingle_list(text, n: int):
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"\s+", re.ASCII)
+    if text is None:
+        return []
+    s = text.strip(_JAVA_TRIM)
+    if not s:
+        return []
+    toks = _WS_RE.split(s)
+    if len(toks) < n:
+        return []
+    joined = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return list(dict.fromkeys(joined))  # == F.array_distinct (first-occurrence)
+
+
+def shingle_arrays(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shs: array<string>) — per-doc DISTINCT n-token shingles.
+
+    Built MAP-SIDE by an Arrow-vectorized pandas UDF: no shuffle, no
+    token-level row explosion.  The two pure-JVM alternatives both lose at
+    scale: Catalyst higher-order lambdas (transform/sequence over arrays)
+    run interpreted (CodegenFallback) at ~20-40µs per shingle, and the
+    codegen-friendly posexplode→window(lead) formulation shuffles one row
+    PER TOKEN (5x10^14 rows at the design point).  The set-per-row output
+    is the scale workhorse: signatures, set sizes, and pairwise
+    intersections all derive from it without ever materializing the
+    quadratic (doc, shingle) table."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _shingles(texts):
+        return texts.map(lambda t: _shingle_list(t, n))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), _shingles(F.col("text")).alias("shs")
+    )
+
+
 def shingle_sets(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) DISTINCT — n-token shingles, no shuffle to build
-    (array ops inside codegen), one distinct."""
-    toks = tokens_col("text")
-    sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
-        .distinct()
+    """(doc_id, shingle) DISTINCT rows — the exploded form (brute-force
+    Jaccard joins on it; everything else uses shingle_arrays)."""
+    return shingle_arrays(df, n, id_col).select(
+        "doc_id", F.explode("shs").alias("sh")
     )
 
 
-def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None) -> DataFrame:
-    """Exact Jaccard for pairs; if ``candidates`` (a_id,b_id) given, verify
-    only those (LSH path), else all co-shingled pairs (brute path)."""
+def _pair_jaccard(shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard over ALL co-shingled pairs — the brute-force baseline
+    (quadratic in co-shingled docs; LSH verification uses
+    :func:`_verify_candidates` instead, which never goes quadratic)."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
     sa = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")
     sb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")
     return (
@@ -120,13 +167,31 @@ def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None) -> DataFram
     )
 
 
+def _verify_candidates(arrays: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs only, via native array_intersect on
+    the per-doc shingle arrays — O(|candidates| x shingles-per-doc), no
+    shingle-level self-join, no extra distinct/groupBy shuffles.  AQE
+    broadcasts the candidate side when it is small (the common case: LSH
+    candidates ≈ true near-dups)."""
+    a = arrays.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs"))
+    b = arrays.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs"))
+    j = candidates.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect("a_shs", "b_shs"))
+    na, nb = F.size("a_shs"), F.size("b_shs")
+    return j.select(
+        "a_id",
+        "b_id",
+        F.floor(100.0 * inter / (na + nb - inter)).cast("int").alias("jacc_pct"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, n: int = 3, tau_pct: int = 60, id_col: str = "doc_id"
 ) -> DataFrame:
     """Brute exact n-gram-Jaccard near-dup pairs (the small-scale baseline
     and the verifier for LSH)."""
     sh = shingle_sets(df, n, id_col)
-    return _pair_jaccard(sh, None).where(F.col("jacc_pct") >= tau_pct)
+    return _pair_jaccard(sh).where(F.col("jacc_pct") >= tau_pct)
 
 
 # --- MinHash + LSH ------------------------------------------------------------
@@ -174,7 +239,8 @@ def minhash_lsh_pairs(
     6e-7 — the verified output equals brute force in expectation, which is
     what the DuckDB oracle asserts.
     """
-    sh = shingle_sets(df, n, id_col)
+    arrays = shingle_arrays(df, n, id_col)
+    sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
     sig = minhash_signatures(sh, num_perm)
     n_bands = num_perm // rows_per_band
     band_rows = []
@@ -189,20 +255,30 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    l, r = banded.alias("l"), banded.alias("r")
+    # bucket-group candidate generation: ONE pass over the signatures (a
+    # self-join would evaluate the whole signature pipeline twice unless the
+    # exchange is reused), quadratic only WITHIN a bucket — bucket size is
+    # bounded by band width, so the blowup knob is explicit
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("a_id"), b.alias("b_id")),
+            ),
+        )
+    )
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
-    return _pair_jaccard(sh, cand).where(F.col("jacc_pct") >= tau_pct)
+    return _verify_candidates(arrays, cand).where(F.col("jacc_pct") >= tau_pct)
 
 
 # --- SimHash -------------------------------------------------------------------
@@ -254,21 +330,35 @@ def simhash_pairs(
     ).select(
         "doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    # bucket-group instead of self-join: one evaluation of the signature
+    # pipeline, quadratic only within a (chunk, value) bucket
+    buckets = (
+        banded.groupBy("c", "v")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct("doc_id", "simhash"))
+            ).alias("members")
+        )
+        .where(F.size("members") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "members",
+            lambda a, i: F.transform(
+                F.slice("members", i + 2, F.size("members")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("a_id"),
+                    b["doc_id"].alias("b_id"),
+                    F.bit_count(
+                        a["simhash"].bitwiseXOR(b["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.c") == F.col("r.c"))
-            & (F.col("l.v") == F.col("r.v"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a_id"),
-            F.col("r.doc_id").alias("b_id"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id", "p.hamming")
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )

@@ -37,7 +37,9 @@ except Exception:  # noqa: BLE001
 def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake media table derived from documents: payload = utf-8 bytes of the
     text, kind cycles image/audio/video by doc_id % 3."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from dhtmlparser3_spark.plans.layout import spread
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

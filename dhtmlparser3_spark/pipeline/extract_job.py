@@ -33,15 +33,39 @@ def extract_pages(
     parallelism: int | None = None,
     salt: int = 2024,
     with_metrics: bool = True,
+    repartition: str = "salted",
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang, ...) → extracted rows."""
+    """pages(url, warc_ts, html, text, lang, ...) → extracted rows.
+
+    ``repartition`` picks the pre-UDF physical layout:
+
+    * ``"salted"`` (default): one explicit shuffle on xxhash64(url, salt).
+      Right when input files cluster rows by host/size (real Common Crawl:
+      one WARC ~ one crawl segment) — AQE cannot split a straggling
+      Python-UDF task after the fact, so balance must be created *before*
+      the UDF stage.  Measured on the sandbox corpus the shuffle costs ~0
+      at ≥16 cores (it overlaps the scan) and slightly *wins* at 4 cores
+      because it decouples scan tasks from UDF tasks.
+    * ``"none"``: run the UDF straight over the scan splits.  Right at
+      100 TB when the table is parquet/Iceberg with byte-based splits —
+      splitting by bytes already balances CPU-per-task (cost ~ html
+      bytes), and shuffling 100 TB of raw html once through the cluster
+      fabric is the single most expensive thing the job could do.
+    * ``"auto"``: ``"none"`` when the scan already yields ≥ 2 splits per
+      core (balanced-by-construction), else ``"salted"``.
+    """
     cols = ["url", "warc_ts", "lang", "html"]
     df = pages.select(*cols)
+    sc = df.sparkSession.sparkContext
     if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
-    # salted repartition on url-hash: defuses host-level skew *before* the
-    # Python stage (AQE can't split a straggling UDF task afterwards)
-    df = df.repartition(parallelism, F.xxhash64(F.col("url"), F.lit(salt)))
+        parallelism = sc.defaultParallelism * 2
+    if repartition == "auto":
+        nsplits = df.rdd.getNumPartitions()
+        repartition = "none" if nsplits >= 2 * sc.defaultParallelism else "salted"
+    if repartition == "salted":
+        # salted repartition on url-hash: defuses host-level skew *before*
+        # the Python stage (AQE can't split a straggling UDF task afterwards)
+        df = df.repartition(parallelism, F.xxhash64(F.col("url"), F.lit(salt)))
     out = df.mapInPandas(make_extract_iterator(), schema=EXTRACT_SCHEMA)
     if with_metrics:
         out = out.observe(
