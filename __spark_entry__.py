@@ -170,11 +170,11 @@ def _q_prettify(spark, sf_dir):
 
 
 def _q_extract_stats(spark, sf_dir):
-    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+    from dhtmlparser3_spark.pipeline.extract_job import extract_stats
     from dhtmlparser3_spark.sources.pages import build_pages
 
     pages = build_pages(spark, sf_dir)
-    ex = extract_pages(pages, with_metrics=False)
+    ex = extract_stats(pages)
     tpl = (F.regexp_extract("url", r"/(\d+)\.html$", 1).cast("long") % 5).alias(
         "template"
     )
@@ -196,7 +196,7 @@ def _q_node_tag_counts(spark, sf_dir):
     from dhtmlparser3_spark.operators.nodes import node_table
     from dhtmlparser3_spark.sources.pages import build_pages
 
-    nodes = node_table(build_pages(spark, sf_dir))
+    nodes = node_table(build_pages(spark, sf_dir), fields=["kind", "name"])
     return (
         nodes.where(F.col("kind") == 1)
         .where(F.col("name").isNotNull())
@@ -209,7 +209,9 @@ def _q_find_attr(spark, sf_dir):
     from dhtmlparser3_spark.operators.nodes import find_tags, node_table
     from dhtmlparser3_spark.sources.pages import build_pages
 
-    nodes = node_table(build_pages(spark, sf_dir))
+    nodes = node_table(
+        build_pages(spark, sf_dir), fields=["kind", "name", "attrs"]
+    )
     # case-insensitive key lookup: the template writes CLASS="inner"
     hits = find_tags(nodes, "div", {"class": "inner"})
     return hits.agg(F.count("*").alias("n_matches"))
@@ -219,7 +221,10 @@ def _q_descendant_divs(spark, sf_dir):
     from dhtmlparser3_spark.operators.nodes import descendant_join, node_table
     from dhtmlparser3_spark.sources.pages import build_pages
 
-    nodes = node_table(build_pages(spark, sf_dir))
+    nodes = node_table(
+        build_pages(spark, sf_dir),
+        fields=["node_id", "kind", "name", "subtree_end"],
+    )
     pairs = descendant_join(
         nodes,
         (F.col("kind") == 1) & (F.lower(F.col("name")) == "div"),

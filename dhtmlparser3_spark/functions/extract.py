@@ -34,12 +34,31 @@ EXTRACT_SCHEMA = (
     "error string"
 )
 
-NODE_SCHEMA = (
-    "array<struct<node_id:int,parent_id:int,kind:tinyint,name:string,"
-    "attrs:array<struct<key:string,value:string>>,text:string,"
-    "is_non_pair:boolean,depth:int,subtree_end:int,"
-    "src_start:int,src_end:int>>"
-)
+# full node-struct field set; udf_nodes/node_table can prune to a subset —
+# Catalyst cannot push column pruning through a Python UDF, so the pruning
+# is done by hand at the UDF boundary (smaller Python dicts AND less Arrow)
+NODE_FIELD_TYPES = {
+    "node_id": "int",
+    "parent_id": "int",
+    "kind": "tinyint",
+    "name": "string",
+    "attrs": "array<struct<key:string,value:string>>",
+    "text": "string",
+    "is_non_pair": "boolean",
+    "depth": "int",
+    "subtree_end": "int",
+    "src_start": "int",
+    "src_end": "int",
+}
+
+
+def node_schema(fields=None) -> str:
+    fields = list(NODE_FIELD_TYPES) if fields is None else list(fields)
+    inner = ",".join(f"{f}:{NODE_FIELD_TYPES[f]}" for f in fields)
+    return f"array<struct<{inner}>>"
+
+
+NODE_SCHEMA = node_schema()
 
 
 def decode_html(raw) -> str:
@@ -72,7 +91,7 @@ def main_text(a: Arena, nid: Optional[int] = None) -> str:
     return "".join(out)
 
 
-def flatten_nodes(a: Arena):
+def flatten_nodes(a: Arena, fields=None):
     """Arena → flat pre-order node records for the relational tier.
 
     node_id == pre-order rank from the result root; ``subtree_end`` is one
@@ -80,7 +99,8 @@ def flatten_nodes(a: Arena):
     ``anc.node_id < d.node_id < anc.subtree_end`` — a Catalyst-friendly
     range predicate (used for descendant joins instead of recursion).
     Parents here are STRUCTURAL (recomputed), not the reference's sometimes
-    stale pointers.
+    stale pointers.  ``fields`` (ordered subset of NODE_FIELD_TYPES) prunes
+    the per-node record — the big wins are dropping ``attrs`` and ``text``.
     """
     order: List[int] = []
     depths: List[int] = []
@@ -108,27 +128,26 @@ def flatten_nodes(a: Arena):
         if sub_end[i] > sub_end[p]:
             sub_end[p] = sub_end[i]
 
-    recs = []
-    for i, nid in enumerate(order):
-        recs.append(
-            {
-                "node_id": i,
-                "parent_id": parents[i],
-                "kind": a.kind[nid],
-                "name": a.name[nid] or None,
-                "attrs": [
-                    {"key": k, "value": v} for k, v in a.attrs[nid]
-                ]
-                or None,
-                "text": a.text[nid] or None,
-                "is_non_pair": bool(a.non_pair[nid]),
-                "depth": depths[i],
-                "subtree_end": sub_end[i],
-                "src_start": a.src_start[nid],
-                "src_end": a.src_end[nid],
-            }
-        )
-    return recs
+    makers = {
+        "node_id": lambda i, nid: i,
+        "parent_id": lambda i, nid: parents[i],
+        "kind": lambda i, nid: a.kind[nid],
+        "name": lambda i, nid: a.name[nid] or None,
+        "attrs": lambda i, nid: [
+            {"key": k, "value": v} for k, v in a.attrs[nid]
+        ]
+        or None,
+        "text": lambda i, nid: a.text[nid] or None,
+        "is_non_pair": lambda i, nid: bool(a.non_pair[nid]),
+        "depth": lambda i, nid: depths[i],
+        "subtree_end": lambda i, nid: sub_end[i],
+        "src_start": lambda i, nid: a.src_start[nid],
+        "src_end": lambda i, nid: a.src_end[nid],
+    }
+    sel = [(f, makers[f]) for f in (fields or makers)]
+    return [
+        {f: mk(i, nid) for f, mk in sel} for i, nid in enumerate(order)
+    ]
 
 
 def text_spans(a: Arena):
@@ -272,6 +291,59 @@ def make_extract_iterator(passthrough=("url", "warc_ts", "lang")):
     return run
 
 
+STATS_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, "
+    "n_nodes int, n_tags int, n_text_nodes int, error string"
+)
+
+
+def _stats_one(html: str):
+    try:
+        a = parse_arena(html)
+    except Exception as e:  # noqa: BLE001
+        return 0, 0, 0, f"{type(e).__name__}: {e}"
+    kinds = a.kind
+    return len(kinds), kinds.count(TAG), kinds.count(TEXT), None
+
+
+def make_stats_iterator(passthrough=("url", "warc_ts", "lang")):
+    """Counts-only extraction: parses but skips serialization (content_str /
+    main_text / spans) AND their Arrow transfer — for aggregation-only
+    consumers; Catalyst can't prune columns through the UDF, so the slim
+    path is a separate iterator."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gc_was = gc.isenabled()
+        gc.disable()
+        try:
+            for pdf in batches:
+                rows = [_stats_one(decode_html(h)) for h in pdf["html"]]
+                cols = (
+                    list(zip(*rows)) if rows else [[] for _ in range(4)]
+                )
+                out = pd.DataFrame(
+                    {
+                        "n_nodes": list(cols[0]),
+                        "n_tags": list(cols[1]),
+                        "n_text_nodes": list(cols[2]),
+                        "error": list(cols[3]),
+                    },
+                    index=pdf.index,
+                    copy=False,
+                )
+                for col in passthrough:
+                    out[col] = pdf[col].values
+                yield out[
+                    list(passthrough)
+                    + ["n_nodes", "n_tags", "n_text_nodes", "error"]
+                ]
+        finally:
+            if gc_was:
+                gc.enable()
+
+    return run
+
+
 def udf_content_str():
     """pandas_udf: html (binary/string) → content_str string column."""
     from pyspark.sql.functions import pandas_udf
@@ -343,12 +415,17 @@ def udf_content_without_tags():
     return _cwt
 
 
-def udf_nodes():
-    """html → flattened node array (relational tier input)."""
+def udf_nodes(fields=None):
+    """html → flattened node array (relational tier input); ``fields``
+    prunes the node struct (manual pushdown through the UDF boundary)."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(NODE_SCHEMA)
+    flds = tuple(fields) if fields else None
+
+    @pandas_udf(node_schema(flds))
     def _nodes(html: pd.Series) -> pd.Series:
-        return html.map(lambda h: flatten_nodes(parse_arena(decode_html(h))))
+        return html.map(
+            lambda h: flatten_nodes(parse_arena(decode_html(h)), flds)
+        )
 
     return _nodes

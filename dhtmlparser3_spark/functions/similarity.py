@@ -143,6 +143,42 @@ def _hyperplanes(n_planes: int, dim: int):
     return planes
 
 
+def _bucket_udf(planes, n_planes: int, n_tables: int):
+    """pandas_udf: embedding → array of L bucket ids, via ONE numpy matmul
+    per Arrow batch.  The pure-Catalyst alternative (L*m dot_col folds) runs
+    interpreted at ~ dim*L*m lambda evals per row — numpy does the whole
+    batch as a (rows x dim) @ (dim x L*m) product.  Sign-bit bucketing is
+    robust to summation-order rounding (a flipped bucket near a hyperplane
+    only shifts recall marginally), so the UDF needs no fold-order parity
+    with the exact-cosine oracle paths."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = [list(r) for r in planes]  # plain lists pickle cheaply
+
+    @pandas_udf("array<int>")
+    def _buckets(vecs):
+        import pandas as pd
+
+        mat = np.array(P, dtype=np.float64).T  # dim x (L*m)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # rows x dim
+        bits = (V @ mat) > 0  # rows x (L*m)
+        out = []
+        pw = 1 << np.arange(n_planes)
+        for row in bits:
+            out.append(
+                [int((row[t * n_planes : (t + 1) * n_planes] * pw).sum())
+                 for t in range(n_tables)]
+            )
+        return pd.Series(out)
+
+    return _buckets
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     k: int = 5,
@@ -154,45 +190,29 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
-    L independent tables of m sign-bits each (planes are literal arrays baked
-    into the plan — pure columnar arithmetic, no UDF).  A pair is a candidate
-    if it collides in ANY table: recall 1-(1-p^m)^L where p = 1-θ/π.  With
-    the defaults (m=4, L=8) a true neighbor at cos≈0.35 (p≈0.61) is found
-    w.p. ≈0.70 — tune m up for clustered real-world embeddings (higher p).
+    L independent tables of m sign-bits each.  A pair is a candidate if it
+    collides in ANY table: recall 1-(1-p^m)^L where p = 1-θ/π.  With the
+    defaults (m=4, L=8) a true neighbor at cos≈0.35 (p≈0.61) is found w.p.
+    ≈0.70 — tune m up for clustered real-world embeddings (higher p).
 
-    Scale shape: the corpus is scanned ONCE computing all L bucket keys,
-    then exploded to (table, bucket) — candidates are co-partitioned by
-    bucket so the join is local; only the query side is broadcast.
+    Scale shape: the corpus is scanned ONCE computing all L bucket keys in
+    a single numpy matmul inside an Arrow batch (see _bucket_udf), then
+    exploded to (table, bucket) — candidates are co-partitioned by bucket
+    so the join is local; only the query side is broadcast.
     """
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes * n_tables, dim)
+    buckets = _bucket_udf(planes, n_planes, n_tables)
 
-    def bucket_array(vcol):
-        entries = []
-        for t in range(n_tables):
-            bits = None
-            for i in range(n_planes):
-                row = planes[t * n_planes + i]
-                lit = F.array(*[F.lit(x) for x in row])
-                bit = F.when(dot_col(lit, vcol) > 0, F.lit(1 << i)).otherwise(
-                    F.lit(0)
-                )
-                bits = bit if bits is None else bits + bit
-            entries.append(
-                F.struct(F.lit(t).alias("t"), bits.cast("int").alias("b"))
-            )
-        return F.array(*entries)
-
-    base = (
-        emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("tb", F.explode(bucket_array(F.col("v"))))
-        .select("nid", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    base = emb.select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.posexplode(buckets(F.col(vec_col))).alias("t", "b"),
     )
-    queries = (
-        emb.where(F.col(id_col) % query_mod == 0)
-        .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("q"))
-        .withColumn("tb", F.explode(bucket_array(F.col("q"))))
-        .select("qid", "q", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    queries = emb.where(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("q"),
+        F.posexplode(buckets(F.col(vec_col))).alias("t", "b"),
     )
 
     cand = base.join(F.broadcast(queries), ["t", "b"]).where(

@@ -27,30 +27,28 @@ from dhtmlparser3_spark.functions.extract import udf_nodes
 KIND_TEXT, KIND_TAG, KIND_COMMENT = 0, 1, 2
 
 
-def parse_nodes(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """pages → + nodes array column (one pandas-UDF pass)."""
-    return pages.withColumn("nodes", udf_nodes()(F.col(html_col)))
+def parse_nodes(
+    pages: DataFrame, html_col: str = "html", fields=None
+) -> DataFrame:
+    """pages → + nodes array column (one pandas-UDF pass).  ``fields``
+    prunes the node struct — Catalyst can't push column pruning through
+    the UDF, so callers that only need (kind, name) shouldn't pay for
+    attrs/text construction + Arrow transfer."""
+    return pages.withColumn("nodes", udf_nodes(fields)(F.col(html_col)))
 
 
-def node_table(pages: DataFrame, key_col: str = "url") -> DataFrame:
-    """Exploded node table: one row per DOM node per document."""
+def node_table(
+    pages: DataFrame, key_col: str = "url", fields=None
+) -> DataFrame:
+    """Exploded node table: one row per DOM node per document; ``fields``
+    selects a subset of the node struct (default: all)."""
+    from dhtmlparser3_spark.functions.extract import NODE_FIELD_TYPES
+
+    flds = list(fields) if fields else list(NODE_FIELD_TYPES)
     return (
-        parse_nodes(pages)
+        parse_nodes(pages, fields=fields)
         .select(key_col, F.explode("nodes").alias("n"))
-        .select(
-            key_col,
-            F.col("n.node_id").alias("node_id"),
-            F.col("n.parent_id").alias("parent_id"),
-            F.col("n.kind").alias("kind"),
-            F.col("n.name").alias("name"),
-            F.col("n.attrs").alias("attrs"),
-            F.col("n.text").alias("text"),
-            F.col("n.is_non_pair").alias("is_non_pair"),
-            F.col("n.depth").alias("depth"),
-            F.col("n.subtree_end").alias("subtree_end"),
-            F.col("n.src_start").alias("src_start"),
-            F.col("n.src_end").alias("src_end"),
-        )
+        .select(key_col, *[F.col(f"n.{f}").alias(f) for f in flds])
     )
 
 

@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from dhtmlparser3_spark.functions.extract import (
     EXTRACT_SCHEMA,
+    STATS_SCHEMA,
     make_extract_iterator,
+    make_stats_iterator,
 )
 
 
@@ -77,3 +79,23 @@ def extract_pages(
             ),
         )
     return out
+
+
+def extract_stats(
+    pages: DataFrame,
+    parallelism: int | None = None,
+    salt: int = 2024,
+    repartition: str = "salted",
+) -> DataFrame:
+    """Counts-only variant of :func:`extract_pages` — parses every page but
+    never builds or ships the serialized text/spans columns.  Use for
+    corpus-profiling aggregations; at 10^12 docs the saved Arrow+shuffle
+    volume is the entire extracted-text size."""
+    cols = ["url", "warc_ts", "lang", "html"]
+    df = pages.select(*cols)
+    sc = df.sparkSession.sparkContext
+    if parallelism is None:
+        parallelism = sc.defaultParallelism * 2
+    if repartition == "salted":
+        df = df.repartition(parallelism, F.xxhash64(F.col("url"), F.lit(salt)))
+    return df.mapInPandas(make_stats_iterator(), schema=STATS_SCHEMA)
