@@ -306,6 +306,13 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, k=5, query_mod=50)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from dhtmlparser3_spark.functions.similarity import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_ann_topk(emb, k=5, query_mod=50)
+
+
 def _q_embedding_dups(spark, sf_dir):
     from dhtmlparser3_spark.functions.similarity import embedding_dup_pairs
 
@@ -389,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only by design
+        "ann_ivf": _q_ann_ivf,  # approximate — rows-only; recall in pytest
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "host_topk": _q_host_topk,

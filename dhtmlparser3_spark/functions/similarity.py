@@ -129,6 +129,86 @@ def embedding_dup_pairs(
     )
 
 
+def ivf_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 50,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    second scale path next to :func:`lsh_ann_topk`.
+
+    * Coarse codebook: the ``n_centroids`` lowest-id vectors, L2-normalized
+      (deterministic — no RNG, no k-means iterations; at production scale
+      you would train the codebook offline and broadcast it identically).
+    * Assignment: every corpus vector goes to its nearest centroid by
+      cosine — one numpy matmul per Arrow batch (rows x dim @ dim x C).
+    * Probing: each query searches its ``n_probe`` nearest cells; recall
+      vs brute force is pinned in pytest.
+    * Join on cell id co-partitions candidates; only queries broadcast.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [
+        (r[0], list(r[1]))
+        for r in emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    ]
+    C = [v for _, v in cents]
+
+    def _cell_udf(probe: int):
+        @pandas_udf("array<int>")
+        def _cells(vecs):
+            import pandas as pd
+
+            M = np.asarray(C, dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            sims = Vn @ M.T  # rows x C
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+            return pd.Series([[int(c) for c in row] for row in order])
+
+        return _cells
+
+    base = emb.select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.element_at(_cell_udf(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    queries = emb.where(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("q"),
+        F.explode(_cell_udf(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = base.join(F.broadcast(queries), "cell").where(
+        F.col("qid") != F.col("nid")
+    )
+    sim = (
+        dot_col(F.col("q"), F.col("v"))
+        / (norm_col(F.col("q")) * norm_col(F.col("v")))
+    ).alias("sim")
+    scored = cand.select("qid", "nid", sim)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int):
     """Deterministic pseudo-random unit-free hyperplanes from md5 — no RNG
     object, reproducible across workers and sessions."""

@@ -109,6 +109,21 @@ def test_ann_recall_floor(spark):
 
 
 @pytest.mark.spark
+def test_ivf_recall_floor(spark):
+    """IVF ANN (8 cells, 4-probe — the synthetic embeddings are near-random
+    so cells are weakly selective) must find ≥60% of true top-5 at sf0.01."""
+    from dhtmlparser3_spark.functions.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    truth = cosine_topk(emb, k=5, query_mod=50).toPandas()
+    approx = ivf_ann_topk(emb, k=5, query_mod=50).toPandas()
+    t = set(zip(truth.query_id, truth.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(t & a) / len(t)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+
+
+@pytest.mark.spark
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.limit(5).collect()
