@@ -135,8 +135,12 @@ def _pair_jaccard(shingles: DataFrame) -> DataFrame:
     (quadratic in co-shingled docs; LSH verification uses
     :func:`_verify_candidates` instead, which never goes quadratic)."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    # join on the 64-bit shingle hash, not the string: 8-byte shuffle keys
+    # and fixed-width comparisons (collision odds ~ |shingles|^2 / 2^64 —
+    # negligible against the exact-string DuckDB oracle this is checked by)
+    hashed = shingles.select("doc_id", F.xxhash64("sh").alias("sh"))
+    a = hashed.alias("a")
+    b = hashed.alias("b")
     inter = (
         a.join(
             b,
