@@ -233,6 +233,22 @@ def _q_descendant_divs(spark, sf_dir):
     return pairs.agg(F.count("*").alias("n_pairs"))
 
 
+def _q_wfind_chain(spark, sf_dir):
+    """Q8/Q10 relationally: body → direct-child div → direct-child div.
+    Only template 4 (body>div.content>div.inner) satisfies the strict
+    direct-child path (template 1's footer div has no div child), mirroring
+    the reference test that distinguishes wfind from descendant match."""
+    from dhtmlparser3_spark.operators.nodes import node_table, wfind_chain
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    nodes = node_table(
+        build_pages(spark, sf_dir),
+        fields=["node_id", "parent_id", "kind", "name"],
+    )
+    hits = wfind_chain(nodes, ["body", "div", "div"])
+    return hits.agg(F.count("*").alias("n_matches"))
+
+
 def _q_token_count(spark, sf_dir):
     from dhtmlparser3_spark.functions.textops import with_token_count
 
@@ -386,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_tag_counts": _q_node_tag_counts,
         "find_attr_ci": _q_find_attr,
         "descendant_divs": _q_descendant_divs,
+        "wfind_chain": _q_wfind_chain,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -687,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "node_tag_counts": _sql_node_tag_counts(),
         "find_attr_ci": "SELECT count(*) AS n_matches FROM documents WHERE doc_id % 5 = 4",
         "descendant_divs": "SELECT count(*) AS n_pairs FROM documents WHERE doc_id % 5 = 4",
+        "wfind_chain": "SELECT count(*) AS n_matches FROM documents WHERE doc_id % 5 = 4",
         "token_count": (
             f"SELECT doc_id, len({_toks()})::INT AS n_tokens FROM documents"
         ),

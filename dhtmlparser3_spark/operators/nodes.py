@@ -82,6 +82,34 @@ def find_tags(
     return nodes.where(match_predicate(name, p, case_sensitive))
 
 
+def wfind_chain(
+    nodes: DataFrame,
+    names: list,
+    key_col: str = "url",
+) -> DataFrame:
+    """Relational ``wfind``/``match_paths`` (tag.py:222-238, 283-313): the
+    first step matches anywhere (plain find), every later step matches
+    DIRECT CHILDREN of the previous frontier — expressed as iterated
+    parent_id equi-joins (per-document hash joins, no tree traversal).
+    Returns the final frontier's rows.  Requires fields
+    (node_id, parent_id, kind, name)."""
+    cur = nodes.where(match_predicate(names[0])).select(
+        key_col, F.col("node_id").alias("node_id")
+    )
+    for nm in names[1:]:
+        child = nodes.where(match_predicate(nm)).select(
+            key_col,
+            F.col("node_id").alias("c_id"),
+            F.col("parent_id").alias("c_parent"),
+        )
+        cur = (
+            cur.join(child, key_col)
+            .where(F.col("c_parent") == F.col("node_id"))
+            .select(key_col, F.col("c_id").alias("node_id"))
+        )
+    return cur
+
+
 def descendant_join(
     nodes: DataFrame,
     anc: Column,

@@ -1,0 +1,71 @@
+"""Input-table readers: Iceberg-first, parquet fallback.
+
+The production input (BASELINE.json ``north_rule``) is an Iceberg table of
+Common-Crawl-style pages.  This sandbox ships no Iceberg runtime jars, so
+the reader probes for the Iceberg data source and falls back to a plain
+parquet path; everything downstream (the extract job, lineage, bench) takes
+a DataFrame and is storage-agnostic.
+
+What Iceberg adds at 100 TB, and where the code already assumes it:
+
+* snapshot-isolated appends → pipeline/lineage.py's two-phase
+  output-then-lineage commit collapses into one atomic snapshot
+  (write_mode="iceberg" there);
+* partition/metadata pruning → the same Catalyst pushdown we verify against
+  parquet (PLANS.md §2) applies, plus manifest-level file skipping;
+* incremental reads (snapshot range) → the Structured Streaming wrapper in
+  streaming/stream_extract.py swaps its file source for
+  ``spark.readStream.format("iceberg")`` unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def have_iceberg(spark: SparkSession) -> bool:
+    """True iff the Iceberg DataSource is registered on this cluster."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any jvm lookup failure = not present
+        return False
+
+
+def read_pages(
+    spark: SparkSession, source: str, fmt: str = "auto"
+) -> DataFrame:
+    """Read the pages table from ``source``.
+
+    fmt="iceberg": ``source`` is a catalog table name (db.pages) or table
+    path; fmt="parquet": a directory of parquet files; fmt="auto" uses
+    Iceberg when the runtime is present and the source does not look like
+    a plain ``*.parquet`` path.
+    """
+    if fmt == "auto":
+        fmt = (
+            "iceberg"
+            if have_iceberg(spark) and not source.endswith(".parquet")
+            else "parquet"
+        )
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(source)
+    return spark.read.parquet(source)
+
+
+def write_pages(df: DataFrame, target: str, fmt: str = "auto") -> None:
+    """Append extracted rows to ``target`` (Iceberg table or parquet dir)."""
+    if fmt == "auto":
+        fmt = (
+            "iceberg"
+            if have_iceberg(df.sparkSession) and not target.endswith(".parquet")
+            else "parquet"
+        )
+    if fmt == "iceberg":
+        df.writeTo(target).append()
+    else:
+        df.write.mode("append").parquet(target)

@@ -20,7 +20,12 @@ import sys
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--sf-dir")
+    ap.add_argument(
+        "--pages-table",
+        help="read an existing pages table (Iceberg name or parquet dir) "
+        "instead of synthesizing from --sf-dir",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--buckets", type=int, default=64)
@@ -34,15 +39,21 @@ def main() -> int:
 
     from dhtmlparser3_spark.pipeline.lineage import run_extract_job, verify_run
     from dhtmlparser3_spark.sources.pages import build_pages
+    from dhtmlparser3_spark.sources.tables import read_pages
 
-    pages = build_pages(spark, args.sf_dir, multiplier=args.multiplier)
+    if args.pages_table:
+        pages = read_pages(spark, args.pages_table)
+    else:
+        if not args.sf_dir:
+            ap.error("--sf-dir or --pages-table required")
+        pages = build_pages(spark, args.sf_dir, multiplier=args.multiplier)
     result = run_extract_job(
         spark,
         pages,
         args.output,
         args.lineage,
         n_buckets=args.buckets,
-        input_path=args.sf_dir,
+        input_path=args.pages_table or args.sf_dir,
         max_buckets_per_run=args.max_buckets,
     )
     bad = verify_run(spark, args.output, args.lineage).count()

@@ -57,3 +57,22 @@ def test_nonpair_render(ref):
     ot = api.Tag("br", is_non_pair=True)
     assert ot.to_string() == rt.to_string()
     assert ot.prettify() == rt.prettify()
+
+
+def test_tables_reader_fallback(spark, tmp_path):
+    """read_pages/write_pages fall back to parquet when no Iceberg runtime
+    is registered (this sandbox ships none)."""
+    from dhtmlparser3_spark.sources.pages import build_pages
+    from dhtmlparser3_spark.sources.tables import (
+        have_iceberg,
+        read_pages,
+        write_pages,
+    )
+
+    assert have_iceberg(spark) is False  # sandbox has no iceberg jars
+    src = build_pages(spark, "/root/testdata/sf0.001").limit(20)
+    target = str(tmp_path / "pages.parquet")
+    write_pages(src, target)
+    back = read_pages(spark, target)
+    assert back.count() == 20
+    assert set(back.columns) >= {"url", "warc_ts", "html", "text", "lang"}
