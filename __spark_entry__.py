@@ -377,6 +377,30 @@ def _q_sessions_batch(spark, sf_dir):
     return sessionize_batch(events, gap_minutes=30).drop("sess_id")
 
 
+def _q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over the biggest table: pushed-down
+    date filter → map-side partial agg → one shuffle on the 4-group key.
+    Money sums are exact integer cents (ROUND(x*100) is engine-identical
+    for 2-decimal doubles; raw double sums would hash-differently)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def cents(c):
+        return F.round(F.col(c) * 100).cast("bigint")
+
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_cents"),
+            F.sum(cents("l_discount")).alias("sum_disc_cents"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
 def _q_orders_segment(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -420,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "sessions_batch": _q_sessions_batch,
         "orders_segment": _q_orders_segment,
+        "lineitem_pricing": _q_lineitem_pricing,
     }
 
 
@@ -751,4 +776,15 @@ def oracle_sql() -> dict[str, str]:
             "min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"
         ),
+        "lineitem_pricing": """
+          SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                 CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                 CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                 CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                 MIN(l_orderkey) AS min_orderkey,
+                 MAX(l_orderkey) AS max_orderkey
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY 1, 2
+        """,
     }
