@@ -76,3 +76,35 @@ def test_tables_reader_fallback(spark, tmp_path):
     back = read_pages(spark, target)
     assert back.count() == 20
     assert set(back.columns) >= {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_bucketed_join_no_exchange(spark):
+    """write_bucketed: equi-join on the bucket key plans ZERO exchanges
+    (co-located join); the same join on plain parquet shuffles both sides."""
+    import pyspark.sql.functions as F
+
+    SF = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from dhtmlparser3_spark.sources.tables import write_bucketed
+
+        write_bucketed(orders, "t_orders_b", "o_custkey", 8)
+        write_bucketed(cust, "t_customer_b", "c_custkey", 8)
+        j = spark.table("t_orders_b").join(
+            spark.table("t_customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        plain = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange") >= 2
+        assert j.count() == plain.count()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
