@@ -115,10 +115,32 @@ def lex(s: str) -> List[tuple]:
 
     out: List[tuple] = []
     append = out.append
+    find = s.find
     pend = None
     i = 0
+    # _scan's dispatch + the text scanner are inlined here: one Python call
+    # per token is ~10% of lex time at 10^12-doc scale (semantics identical
+    # to tokenizer.py:27-66 — see _scan, kept for the unit tests).
     while i < n:
-        tok, i = _scan(s, i, n)
+        c = s[i]
+        if c == "<":
+            try:
+                tok, i = _tag_scan(s, i, n)
+            except _Recover as r:
+                j = min(r.pos, n)
+                tok, i = (TEXT, s[i:j], i, j), j
+        elif c == "&":
+            text, j, _ = _entity_scan(s, i, n - 1)
+            tok, i = (TEXT, text, i, min(j, n)), j
+        else:
+            a = find("<", i + 1)
+            b = find("&", i + 1)
+            if a < 0:
+                a = n
+            if b < 0:
+                b = n
+            j = a if a < b else b
+            tok, i = (TEXT, s[i:j], i, j), j
         if pend is None:
             pend = tok
         elif pend[0] == TEXT and tok[0] == TEXT:
