@@ -108,3 +108,20 @@ def test_bucketed_join_no_exchange(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_layout_spread(spark):
+    """spread() widens single-split inputs to cluster parallelism and
+    leaves well-split inputs untouched."""
+    from dhtmlparser3_spark.plans.layout import spread
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    wide = spread(docs)
+    assert (
+        wide.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    assert wide.count() == docs.count()
+    # idempotent: an already-wide frame passes through untouched
+    assert spread(wide) is wide
