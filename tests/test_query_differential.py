@@ -232,3 +232,48 @@ def test_eq_hash_semantics(ref):
     assert (o == o2) == (r == r2)  # name+params+non_pair only, subtree ignored
     r3, o3 = both(ref, "<div a=2>x</div>")
     assert (o == o3) == (r == r3)
+
+
+def test_match_arg_forms_and_misc_parity():
+    """match dict/{name,p}/list(*args) forms, cip=False key access, comment
+    prettify, wfind-miss falsiness, and crash parity on the bare-list path
+    (reference raises AttributeError: str has no .items — so must we)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import dhtmlparser3 as ref
+
+    from dhtmlparser3_spark.engine import api as ours
+
+    d_r = ref.parse('<a><b id="x">t</b></a>')
+    d_o = ours.parse('<a><b id="x">t</b></a>')
+    r = d_r.match("a", {"name": "b", "p": {"id": "x"}})
+    o = d_o.match("a", {"name": "b", "p": {"id": "x"}})
+    assert [str(x) for x in r] == [str(x) for x in o] and len(r) == 1
+    assert [str(x) for x in d_r.match("a", "b")] == [
+        str(x) for x in d_o.match("a", "b")
+    ]
+    assert [str(x) for x in d_r.match(["b", {"id": "x"}])] == [
+        str(x) for x in d_o.match(["b", {"id": "x"}])
+    ]
+    r2 = ref.parse('<a ID="q">x</a>', case_insensitive_parameters=False)
+    o2 = ours.parse('<a ID="q">x</a>', case_insensitive_parameters=False)
+    assert ("id" in r2) == ("id" in o2) and ("ID" in r2) == ("ID" in o2)
+    assert (
+        ref.parse("<a><!-- hi --></a>").prettify()
+        == ours.parse("<a><!-- hi --></a>").prettify()
+    )
+    assert bool(ref.parse("<x><y>1</y></x>").wfind("x").wfind("z")) == bool(
+        ours.parse("<x><y>1</y></x>").wfind("x").wfind("z")
+    )
+
+    def crashes(f):
+        try:
+            f()
+            return False
+        except Exception:
+            return True
+
+    assert crashes(lambda: d_r.match(["a", "b"])) == crashes(
+        lambda: d_o.match(["a", "b"])
+    )
