@@ -168,6 +168,76 @@ def _mp_ceiling(cores: int, sf_dir: str, multiplier: int) -> float:
     return best
 
 
+def _bench_skew(cpus: int, sf_dir: str):
+    """A/B the salted repartition on a host-clustered corpus where one host
+    owns 5% of docs at ~20x size (the Common-Crawl heavy-host pattern) —
+    the north-rule skew claim, measured (see scripts/exp_skew.py)."""
+    from pyspark.sql import functions as F
+
+    from dhtmlparser3_spark.functions.extract import (
+        EXTRACT_SCHEMA,
+        make_extract_iterator,
+    )
+    from dhtmlparser3_spark.plans.session import get_spark
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    spark = get_spark(app_name="bench-skew", cpus=cpus)
+    try:
+        path = "/tmp/spark_graft_bench/pages_skew.parquet"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            pages = build_pages(spark, sf_dir, multiplier=40)
+            heavy = (F.xxhash64("url") % 20 == 0).alias("heavy")
+            skewed = pages.withColumn("heavy", heavy).withColumn(
+                "html",
+                F.when(
+                    F.col("heavy"),
+                    F.encode(
+                        F.concat(
+                            F.lit("<html><body>"),
+                            F.repeat(F.decode("html", "utf-8"), 20),
+                            F.lit("</body></html>"),
+                        ),
+                        "utf-8",
+                    ),
+                ).otherwise(F.col("html")),
+            )
+            skewed.repartitionByRange(8, "heavy", "url").write.mode(
+                "overwrite"
+            ).parquet(path)
+        pages = spark.read.parquet(path).select(
+            "url", "warc_ts", "lang", "html"
+        )
+
+        def run(mode):
+            df = pages
+            if mode == "salted":
+                df = df.repartition(
+                    spark.sparkContext.defaultParallelism * 2,
+                    F.xxhash64(F.col("url"), F.lit(2024)),
+                )
+            return (
+                df.mapInPandas(make_extract_iterator(), schema=EXTRACT_SCHEMA)
+                .agg(F.count("*").alias("docs"), F.sum("n_chars_out"))
+                .collect()[0]
+            )
+
+        out = {}
+        for mode in ("none", "salted"):
+            run(mode)  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                r = run(mode)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[f"{mode}_sec"] = round(best, 2)
+            out["docs"] = int(r.docs)
+        out["speedup"] = round(out["none_sec"] / out["salted_sec"], 2)
+        return out
+    finally:
+        spark.stop()
+
+
 def bench_queries(cpus: int, sf_dir: str):
     import __spark_entry__ as entrymod
     from dhtmlparser3_spark.plans.session import get_spark
@@ -301,6 +371,14 @@ def main():
             f"itself {hw_4_16:.3f}, normalized {eff_4_16 / hw_4_16:.3f}"
         )
 
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+        result["skew"] = _bench_skew(cpus, sf_dir)
+        log(
+            f"skew (host-clustered 20x docs): none={result['skew']['none_sec']}s "
+            f"salted={result['skew']['salted_sec']}s "
+            f"(salted {result['skew']['speedup']}x faster)"
+        )
+
     result["queries"] = bench_queries(cpus, sf_dir)
 
     print(json.dumps(result), flush=True)
@@ -352,6 +430,17 @@ def _write_bench_md(result: dict, mult: int) -> None:
             "| --- | --- | --- | --- |",
             *[f"| {c} | {sc['pinned_docs_per_sec'][c]} | {sc['mp_ceiling_docs_per_sec'][c]} | {sc['spark_vs_ceiling'][c]} |"
               for c in sc['pinned_docs_per_sec']],
+        ]
+    sk = result.get("skew")
+    if sk:
+        lines += [
+            "",
+            "## Skew defusal (host-clustered corpus, one host = 5% of docs at ~20x size)",
+            "",
+            f"- no shuffle: {sk['none_sec']}s; salted url-hash repartition: "
+            f"{sk['salted_sec']}s → **{sk['speedup']}x faster under skew** "
+            f"({sk['docs']} docs; AQE cannot split a straggling Python-UDF task, "
+            "so balance must be created before the UDF stage)",
         ]
     lines += ["", "## Per-query seconds", ""]
     for k, v in sorted(result.get("queries", {}).items()):
