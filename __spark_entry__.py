@@ -342,6 +342,28 @@ def _q_media_meta(spark, sf_dir):
     return decode_media(media_corpus(spark, sf_dir)).drop("error")
 
 
+def _q_media_resize(spark, sf_dir):
+    from dhtmlparser3_spark.functions.multimodal import media_corpus, resize_images
+
+    out = resize_images(media_corpus(spark, sf_dir), width=64, height=64)
+    return out.select("doc_id", "width", "height", "n_bytes_out")
+
+
+def _q_media_frames(spark, sf_dir):
+    from dhtmlparser3_spark.functions.multimodal import media_corpus, sample_frames
+
+    return sample_frames(media_corpus(spark, sf_dir), every=5)
+
+
+def _q_media_features(spark, sf_dir):
+    from dhtmlparser3_spark.functions.multimodal import media_corpus, media_features
+
+    feats = media_features(media_corpus(spark, sf_dir), dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_idx", "val")
+    )
+
+
 def _q_host_topk(spark, sf_dir):
     from dhtmlparser3_spark.sources.pages import build_pages
 
@@ -440,6 +462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; recall in pytest
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
+        "media_features": _q_media_features,
         "host_topk": _q_host_topk,
         "events_hourly": _q_events_hourly,
         "sessions_batch": _q_sessions_batch,
@@ -744,6 +769,26 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: intentionally omitted — approximate; recall pinned in tests
         "embedding_dups": _sql_embedding_dups(),
         "media_meta": _sql_media_meta(),
+        "media_resize": (
+            "SELECT doc_id, 64 AS width, 64 AS height, 512 AS n_bytes_out "
+            "FROM documents WHERE doc_id % 3 = 0"
+        ),
+        "media_frames": """
+          WITH v AS (
+            SELECT doc_id, octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id % 3 = 2
+          )
+          SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+                 CAST(n // (n % 30 + 1) AS INT) AS n_bytes
+          FROM v, LATERAL (
+            SELECT unnest(generate_series(0, n % 30, 5)) AS i
+          ) u
+        """,
+        "media_features": f"""
+          SELECT doc_id, CAST(i AS INT) AS dim_idx,
+                 (({_HASH60.format(x="text || chr((48 + i)::INT)")}) % 1000) / 1000.0 AS val
+          FROM documents, generate_series(0, 7) AS t(i)
+        """,
         "host_topk": _sql_host_topk(),
         "sessions_batch": """
           WITH marked AS (

@@ -69,6 +69,96 @@ def _fake_decode(kind: str, payload: bytes):
     raise NotImplementedError(f"unknown media kind {kind!r}")
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes_out int, payload binary"
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing over image rows: mapInPandas, binary in → binary out.
+
+    The 'resample' is a deterministic fake (tile/truncate the payload to
+    width*height//8 bytes) standing in for PIL's ``Image.resize``; schema,
+    filtering, batching and output size are the real pipeline shape, and
+    the byte count is oracle-checkable."""
+    out_len = max(1, width * height // 8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    b = b"\x00"
+                reps = -(-out_len // len(b))  # ceil
+                resized = (b * reps)[:out_len]
+                rows.append((doc_id, width, height, len(resized), resized))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes_out", "payload"],
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_bytes int"
+
+
+def sample_frames(media: DataFrame, every: int = 5) -> DataFrame:
+    """Frame-sampling plumbing over video rows: one OUTPUT row per sampled
+    frame (a fan-out mapInPandas — the batch shape a real ffmpeg-backed
+    sampler needs).  n_frames and per-frame byte size are the deterministic
+    fake-decode values so the row multiplication is oracle-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(payload))
+                n_frames = n % 30 + 1
+                frame_bytes = n // n_frames
+                for idx in range(0, n_frames, every):
+                    rows.append((doc_id, idx, frame_bytes))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_bytes"]
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = "doc_id bigint, features array<double>"
+
+
+def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction plumbing: payload → fixed-dim double vector via a
+    deterministic md5-derived fake (stands in for an encoder model).  The
+    output column feeds the similarity tier (cosine_topk / ANN) unchanged;
+    values are 3-decimal doubles reproducible in the DuckDB oracle."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                vec = [
+                    (
+                        int(hashlib.md5(b + bytes([48 + i])).hexdigest()[:15], 16)
+                        % 1000
+                    )
+                    / 1000.0
+                    for i in range(dim)
+                ]
+                rows.append((doc_id, vec))
+            yield pd.DataFrame(rows, columns=["doc_id", "features"])
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches of binary payloads."""
 
