@@ -364,6 +364,18 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_pdf_blocks(spark, sf_dir):
+    from dhtmlparser3_spark.functions.docparse import parse_layout
+
+    return parse_layout(_docs(spark, sf_dir))
+
+
+def _q_pdf_layout_text(spark, sf_dir):
+    from dhtmlparser3_spark.functions.docparse import layout_main_text
+
+    return layout_main_text(_docs(spark, sf_dir))
+
+
 def _q_host_topk(spark, sf_dir):
     from dhtmlparser3_spark.sources.pages import build_pages
 
@@ -463,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "media_resize": _q_media_resize,
+        "pdf_blocks": _q_pdf_blocks,
+        "pdf_layout_text": _q_pdf_layout_text,
         "media_frames": _q_media_frames,
         "media_features": _q_media_features,
         "host_topk": _q_host_topk,
@@ -769,6 +783,44 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: intentionally omitted — approximate; recall pinned in tests
         "embedding_dups": _sql_embedding_dups(),
         "media_meta": _sql_media_meta(),
+        "pdf_blocks": f"""
+          WITH nz AS (
+            SELECT doc_id, {_toks()} AS arr, len({_toks()}) AS n
+            FROM documents WHERE len({_toks()}) > 0
+          ),
+          pages AS (
+            SELECT doc_id, arr, n,
+                   unnest(generate_series(0, (n-1)//{50})) AS page_no
+            FROM nz
+          ),
+          pt AS (
+            SELECT doc_id, page_no,
+                   list_slice(arr, page_no*{50}+1, LEAST((page_no+1)*{50}, n)) AS ptoks
+            FROM pages
+          ),
+          blocks AS (
+            SELECT doc_id, page_no, ptoks,
+                   unnest(generate_series(0, (len(ptoks)-1)//{10})) AS block_no
+            FROM pt
+          )
+          SELECT doc_id, page_no::INT AS page_no, block_no::INT AS block_no,
+                 CASE WHEN block_no = 0 THEN 'heading' ELSE 'para' END AS kind,
+                 array_to_string(list_slice(ptoks, block_no*{10}+1,
+                                 LEAST((block_no+1)*{10}, len(ptoks))), ' ') AS text,
+                 72 AS x0, (block_no*60)::INT AS y0, 540 AS x1,
+                 (block_no*60+48)::INT AS y1
+          FROM blocks
+          UNION ALL
+          SELECT doc_id, page_no::INT, ((len(ptoks)-1)//{10} + 1)::INT,
+                 'footer', 'p' || (page_no+1), 72, 700, 540, 712
+          FROM pt
+        """,
+        "pdf_layout_text": f"""
+          SELECT doc_id,
+                 array_to_string({_toks()}, ' ') AS main_text,
+                 ((len({_toks()})-1)//{50} + 1)::INT AS n_pages
+          FROM documents WHERE len({_toks()}) > 0
+        """,
         "media_resize": (
             "SELECT doc_id, 64 AS width, 64 AS height, 512 AS n_bytes_out "
             "FROM documents WHERE doc_id % 3 = 0"
