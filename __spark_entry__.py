@@ -364,6 +364,21 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """Composed training-data pipeline: extract → quality floor (drops the
+    bottom tail) → exact dedup.  Deterministic dup pages (same html, url
+    suffixed ?dup) are injected so the dedup stage provably fires; the
+    quality floor of 60 drops real low-scoring docs."""
+    from dhtmlparser3_spark.pipeline.curate import curate_corpus
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    dups = pages.where(F.col("doc_id") % 11 == 0).withColumn(
+        "url", F.concat("url", F.lit("?dup"))
+    )
+    return curate_corpus(pages.unionByName(dups), min_quality=60)
+
+
 def _q_pdf_blocks(spark, sf_dir):
     from dhtmlparser3_spark.functions.docparse import parse_layout
 
@@ -475,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "media_resize": _q_media_resize,
+        "curate_corpus": _q_curate_corpus,
         "pdf_blocks": _q_pdf_blocks,
         "pdf_layout_text": _q_pdf_layout_text,
         "media_frames": _q_media_frames,
@@ -553,7 +569,7 @@ def _sql_node_tag_counts() -> str:
     """
 
 
-def _sql_quality() -> str:
+def _sql_quality(table: str = "documents", id_col: str = "doc_id") -> str:
     from dhtmlparser3_spark.functions.textops import PUNCT_CLASS, STOPWORDS_EN
 
     stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -562,15 +578,16 @@ def _sql_quality() -> str:
     ltoks = _toks("lower(text)")
     return f"""
       WITH base AS (
-        SELECT doc_id,
+        SELECT {id_col},
+               text,
                length(text) AS n_chars,
                len({toks}) AS n_tokens,
                len(list_filter({ltoks}, x -> x IN ({stop}))) AS n_stopwords,
                length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS n_punct,
                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
-        FROM documents
+        FROM {table}
       )
-      SELECT doc_id, n_chars::INT AS n_chars, n_tokens::INT AS n_tokens,
+      SELECT {id_col}, text, n_chars::INT AS n_chars, n_tokens::INT AS n_tokens,
              n_stopwords::INT AS n_stopwords, n_punct::INT AS n_punct,
              n_alpha::INT AS n_alpha,
              (CASE WHEN n_tokens = 0 THEN 0 ELSE
@@ -772,7 +789,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             f"SELECT doc_id, len({_toks()})::INT AS n_tokens FROM documents"
         ),
-        "quality_score": _sql_quality(),
+        "quality_score": (
+            "SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct, "
+            f"n_alpha, quality FROM ({_sql_quality()})"
+        ),
         "lang_id": _sql_lang_id(),
         "fingerprints": _sql_fingerprints(),
         "exact_dups": _sql_exact_dups(),
@@ -783,6 +803,23 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: intentionally omitted — approximate; recall pinned in tests
         "embedding_dups": _sql_embedding_dups(),
         "media_meta": _sql_media_meta(),
+        "curate_corpus": f"""
+          WITH mt AS (
+            SELECT url, value AS text FROM ({_sql_extract("main_text")})
+            UNION ALL
+            SELECT url || '?dup' AS url, value AS text
+            FROM ({_sql_extract("main_text")} WHERE doc_id % 11 = 0)
+          ),
+          q AS ({_sql_quality("mt", "url")}),
+          kept AS (SELECT * FROM q WHERE quality >= 60),
+          d AS (
+            SELECT url, n_tokens, quality,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY url) AS rk
+            FROM kept
+          )
+          SELECT url, n_tokens::INT AS n_tokens, quality::INT AS quality
+          FROM d WHERE rk = 1
+        """,
         "pdf_blocks": f"""
           WITH nz AS (
             SELECT doc_id, {_toks()} AS arr, len({_toks()}) AS n
