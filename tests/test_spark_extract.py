@@ -123,3 +123,33 @@ def test_nodes_flattening(spark, ref):
         if n.parent_id >= 0:
             p = by_id[n.parent_id]
             assert p.node_id < n.node_id < p.subtree_end
+
+
+@pytest.mark.spark
+def test_stats_path_matches_full_extract(spark):
+    """The counts-only extract_stats path must agree with the full
+    extract_pages output on every count column (same parse, no text)."""
+    from pyspark.sql import functions as F
+
+    from dhtmlparser3_spark.pipeline.extract_job import (
+        extract_pages,
+        extract_stats,
+    )
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, "/root/testdata/sf0.001")
+    full = (
+        extract_pages(pages, with_metrics=False)
+        .select("url", "n_nodes", "n_tags", "n_text_nodes")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    slim = (
+        extract_stats(pages)
+        .select("url", "n_nodes", "n_tags", "n_text_nodes")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert full.equals(slim)
