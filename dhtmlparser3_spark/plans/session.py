@@ -41,6 +41,10 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
+        # feed buffer between the JVM writer thread and the python worker:
+        # one Arrow batch of html is ~3MB, the 64KB default forces dozens of
+        # blocking roundtrips per batch (measured ~6-15% of UDF-stage wall)
+        .config("spark.sql.execution.pandas.udf.buffer.size", "4194304")
         # html docs are big strings; keep scan partitions modest so the
         # python workers get balanced slices
         .config("spark.sql.files.maxPartitionBytes", "64m")
