@@ -47,6 +47,13 @@ def _toks(x: str = "text") -> str:
     return f"(CASE WHEN trim({x}) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim({x}), '{_WS}') END)"
 
 
+def _esc_sql_text() -> str:
+    """html.escape(text) as DuckDB SQL (shared template-spec compiler)."""
+    from dhtmlparser3_spark.sources.pages import _esc_sql
+
+    return _esc_sql("text")
+
+
 def _corpus_sql() -> str:
     """DuckDB twin of functions.dedup.dedup_corpus (same constants)."""
     from dhtmlparser3_spark.functions import dedup as dd
@@ -189,6 +196,29 @@ def _q_extract_stats(spark, sf_dir):
                 "n_errors"
             ),
         )
+    )
+
+
+def _q_spans_summary(spark, sf_dir):
+    """DOM-span offsets (the north star's 'extracted text plus DOM-span
+    offsets'): per url, the span count, total covered raw bytes, and first
+    text-node offset — each a closed-form function of (template, doc_id
+    digits, escaped-text length), recomputed independently by the oracle.
+    Spans themselves are pinned in pytest (each slices back into the
+    source html)."""
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    ex = extract_pages(build_pages(spark, sf_dir), with_metrics=False)
+    return ex.select(
+        "url",
+        F.size("spans").alias("n_spans"),
+        F.aggregate(
+            "spans",
+            F.lit(0),
+            lambda acc, s: acc + (s["src_end"] - s["src_start"]),
+        ).alias("sum_span_len"),
+        F.element_at("spans", 1)["src_start"].alias("first_start"),
     )
 
 
@@ -473,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prettify": _q_prettify,  # byte-parity pinned in pytest; rows-only here
         "extract_stats": _q_extract_stats,
         "node_tag_counts": _q_node_tag_counts,
+        "spans_summary": _q_spans_summary,
         "find_attr_ci": _q_find_attr,
         "descendant_divs": _q_descendant_divs,
         "wfind_chain": _q_wfind_chain,
@@ -783,6 +814,30 @@ def oracle_sql() -> dict[str, str]:
         "content_without_tags": _sql_extract("content_without_tags"),
         "extract_stats": _sql_extract_stats(),
         "node_tag_counts": _sql_node_tag_counts(),
+        "spans_summary": f"""
+          WITH base AS (
+            SELECT printf('https://host%02d.example/%s/%d.html',
+                          (doc_id % 97)::INT, source, doc_id) AS url,
+                   doc_id % 5 AS t,
+                   length(CAST(doc_id AS VARCHAR)) AS idl,
+                   length({_esc_sql_text()}) AS esc,
+                   (text <> '')::INT AS has
+            FROM documents
+          )
+          SELECT url,
+                 (CASE t WHEN 0 THEN 1+has WHEN 1 THEN 4+has
+                         WHEN 2 THEN 1+has WHEN 3 THEN 1 ELSE has END)::INT
+                   AS n_spans,
+                 (CASE t WHEN 0 THEN idl+esc WHEN 1 THEN idl+esc+30
+                         WHEN 2 THEN esc+4 WHEN 3 THEN esc+54 ELSE esc END)::INT
+                   AS sum_span_len,
+                 (CASE t WHEN 0 THEN 19 WHEN 1 THEN 19
+                         WHEN 2 THEN CASE WHEN has=1 THEN 38 ELSE 58 END
+                         WHEN 3 THEN 15
+                         ELSE CASE WHEN has=1 THEN 96+idl END END)::INT
+                   AS first_start
+          FROM base
+        """,
         "find_attr_ci": "SELECT count(*) AS n_matches FROM documents WHERE doc_id % 5 = 4",
         "descendant_divs": "SELECT count(*) AS n_pairs FROM documents WHERE doc_id % 5 = 4",
         "wfind_chain": "SELECT count(*) AS n_matches FROM documents WHERE doc_id % 5 = 4",
