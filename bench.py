@@ -238,7 +238,9 @@ def _bench_skew(cpus: int, sf_dir: str):
         spark.stop()
 
 
-def bench_queries(cpus: int, sf_dir: str):
+def bench_queries(cpus: int, sf_dir: str, reps: int = 2):
+    """Per-query wall time, min over ``reps`` fresh executions — a single
+    cold run folds one-off plan/codegen latency into the number."""
     import __spark_entry__ as entrymod
     from dhtmlparser3_spark.plans.session import get_spark
 
@@ -246,9 +248,13 @@ def bench_queries(cpus: int, sf_dir: str):
     out = {}
     try:
         for name, q in entrymod.queries().items():
-            t0 = time.time()
-            n = q(spark, sf_dir).count()
-            out[name] = round(time.time() - t0, 3)
+            best, n = None, 0
+            for _ in range(max(reps, 1)):
+                t0 = time.time()
+                n = q(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
             log(f"  query {name}: {out[name]}s ({n} rows)")
     finally:
         spark.stop()
