@@ -39,7 +39,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared SQL fragments (mirror the Spark-side constants — imported, not copied)
 # ---------------------------------------------------------------------------
 
-_WS = r"\s+"
+# DuckDB's RE2 \s excludes \x0b (vertical tab) while Java's and Python's
+# ASCII \s include it — [\s\x0b] is Java's exact whitespace set, so the
+# oracle tokenizer matches Spark/Python byte-for-byte on \x0b-edged text
+# (see the tokenization note in functions/textops.py)
+_WS = r"[\s\x0b]+"
 _HASH60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
 
 
@@ -174,6 +178,79 @@ def _q_prettify(spark, sf_dir):
 
     pages = build_pages(spark, sf_dir)
     return pages.select("url", udf_prettify()("html").alias("value"))
+
+
+def _q_extract_errors(spark, sf_dir):
+    """Poison-document robustness (the 10^12-doc story): three classes of
+    hostile input are injected next to the real corpus —
+
+    * ``entity``   — ``&#1114112;`` (chr out of range): the reference (and
+      our parity engine) raises ValueError at tokenize time,
+    * ``overflow`` — ``&#999999999999999999;``: OverflowError,
+    * ``deep``     — 1200-deep tag nest: the reference RecursionErrors,
+      our iterative engine parses and serializes it fine,
+
+    and every scalar UDF must yield an error ROW (value NULL + error
+    message), never a task failure.  The oracle recomputes the per-class
+    doc/error counts from the documents table."""
+    from dhtmlparser3_spark.functions.extract import udf_serialize_errors
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir).select(
+        F.lit("ok").alias("cls"), F.col("html")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def poison(cls, cond, html_col):
+        return docs.where(cond).select(
+            F.lit(cls).alias("cls"), F.encode(html_col, "utf-8").alias("html")
+        )
+
+    deep_html = F.concat(
+        F.repeat(F.lit("<div>"), 1200),
+        F.lit("deep text"),
+        F.repeat(F.lit("</div>"), 1200),
+    )
+    corpus = (
+        pages.unionByName(
+            poison("entity", F.col("doc_id") % 10 == 0,
+                   F.lit("<p>pre &#1114112; post</p>"))
+        )
+        .unionByName(
+            poison("overflow", F.col("doc_id") % 10 == 3,
+                   F.lit("<p>pre &#999999999999999999; post</p>"))
+        )
+        .unionByName(poison("deep", F.col("doc_id") % 100 == 5, deep_html))
+    )
+    cs = udf_serialize_errors("content_str")(F.col("html")).alias("cs")
+    pf = udf_serialize_errors("prettify")(F.col("html")).alias("pf")
+    kinds = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.collect_set(F.regexp_extract("cs.error", "^([A-Za-z]+)", 1))
+        ),
+    )
+    return (
+        corpus.select("cls", cs, pf)
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("cs.error").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_err_content"),
+            F.sum(F.when(F.col("pf.error").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_err_prettify"),
+            F.sum(
+                F.when(
+                    F.col("cs.value").isNull() & F.col("cs.error").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_silent_nulls"),
+            kinds.alias("error_kinds"),
+        )
+    )
 
 
 def _q_extract_stats(spark, sf_dir):
@@ -359,6 +436,64 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_ann_topk(emb, k=5, query_mod=50)
 
 
+def _q_ann_recall(spark, sf_dir):
+    """Driver-visible ANN quality: recall@5 of each approximate index (LSH,
+    IVF) against the exact brute-force top-k, computed inside Spark; the
+    DuckDB oracle pins the query count (from the table) and the recall
+    floor (≥60%, the same bound the pytest suite enforces)."""
+    from dhtmlparser3_spark.functions.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    truth = cosine_topk(emb, k=5, query_mod=50).select(
+        "query_id", "neighbor_id"
+    )
+
+    def one(method, fn):
+        approx = fn(emb, k=5, query_mod=50).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        j = truth.join(approx, ["query_id", "neighbor_id"], "left")
+        return j.agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        ).select(
+            F.lit(method).alias("method"),
+            (F.col("n_true") / 5).cast("bigint").alias("n_queries"),
+            (F.floor(100 * F.col("n_hits") / F.col("n_true")) >= 60)
+            .cast("int")
+            .alias("meets_recall_60"),
+        )
+
+    return one("ivf", ivf_ann_topk).unionByName(one("lsh", lsh_ann_topk))
+
+
+def _q_stream_extract(spark, sf_dir):
+    """Structured Streaming driver row: pages → parquet file stream (8
+    files, maxFilesPerTrigger=4 ⇒ ≥2 micro-batches) → foreachBatch running
+    the SAME batch extract job per epoch → transactional parquet sink →
+    read back.  Oracled as batch-equivalence: the streamed output must
+    byte-match the batch content_str oracle for every url."""
+    import tempfile
+
+    from dhtmlparser3_spark.sources.pages import build_pages
+    from dhtmlparser3_spark.streaming.stream_extract import (
+        read_pages_stream,
+        start_foreach_batch,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    build_pages(spark, sf_dir).repartition(8).write.parquet(inp)
+    q = start_foreach_batch(read_pages_stream(spark, inp), outp, ck)
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.select("url", F.col("extracted_text").alias("value"))
+
+
 def _q_embedding_dups(spark, sf_dir):
     from dhtmlparser3_spark.functions.similarity import embedding_dup_pairs
 
@@ -500,7 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": _q_extract_main_text,
         "extract_roundtrip": _q_extract_roundtrip,
         "content_without_tags": _q_content_without_tags,
-        "prettify": _q_prettify,  # byte-parity pinned in pytest; rows-only here
+        "prettify": _q_prettify,
+        "extract_errors": _q_extract_errors,
         "extract_stats": _q_extract_stats,
         "node_tag_counts": _q_node_tag_counts,
         "spans_summary": _q_spans_summary,
@@ -516,8 +652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
-        "ann_lsh": _q_ann_lsh,  # approximate — rows-only by design
-        "ann_ivf": _q_ann_ivf,  # approximate — rows-only; recall in pytest
+        "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
+        "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
+        "ann_recall": _q_ann_recall,
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "media_resize": _q_media_resize,
@@ -529,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_topk": _q_host_topk,
         "events_hourly": _q_events_hourly,
         "sessions_batch": _q_sessions_batch,
+        "stream_extract": _q_stream_extract,
         "orders_segment": _q_orders_segment,
         "lineitem_pricing": _q_lineitem_pricing,
     }
@@ -812,6 +950,27 @@ def oracle_sql() -> dict[str, str]:
         "extract_main_text": _sql_extract("main_text"),
         "extract_roundtrip": _sql_roundtrip(),
         "content_without_tags": _sql_extract("content_without_tags"),
+        "prettify": _sql_extract("prettify"),
+        "extract_errors": """
+          WITH base AS (SELECT count(*) AS n FROM documents)
+          SELECT 'ok' AS cls, CAST(n AS BIGINT) AS n_docs,
+                 CAST(0 AS BIGINT) AS n_err_content,
+                 CAST(0 AS BIGINT) AS n_err_prettify,
+                 CAST(0 AS BIGINT) AS n_silent_nulls, '' AS error_kinds
+          FROM base
+          UNION ALL
+          SELECT 'entity', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+                 CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), 'ValueError'
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT 'overflow', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+                 CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), 'OverflowError'
+          FROM documents WHERE doc_id % 10 = 3
+          UNION ALL
+          SELECT 'deep', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
+          FROM documents WHERE doc_id % 100 = 5
+        """,
         "extract_stats": _sql_extract_stats(),
         "node_tag_counts": _sql_node_tag_counts(),
         "spans_summary": f"""
@@ -855,7 +1014,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_pairs_sql(60),  # LSH+verify == brute (see dedup.py)
         "simhash": _sql_simhash(),
         "cosine_topk": _sql_cosine_topk(),
-        # ann_lsh: intentionally omitted — approximate; recall pinned in tests
+        # ann_lsh / ann_ivf: intentionally rows-only (approximate result
+        # sets); their recall floor is a GREEN oracled row via ann_recall
+        "ann_recall": """
+          WITH q AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id % 50 = 0)
+          SELECT 'ivf' AS method, CAST(nq AS BIGINT) AS n_queries,
+                 1 AS meets_recall_60 FROM q
+          UNION ALL
+          SELECT 'lsh', CAST(nq AS BIGINT), 1 FROM q
+        """,
         "embedding_dups": _sql_embedding_dups(),
         "media_meta": _sql_media_meta(),
         "curate_corpus": f"""
@@ -955,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*)::INT AS n_events
           FROM sessed GROUP BY user_id, sess_id
         """,
+        "stream_extract": _sql_extract("content_str"),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "count(*) AS n_events, min(event_id) AS min_event_id, "

@@ -60,53 +60,66 @@ def _run_extract(cpus: int, sf_dir: str, multiplier: int, runs: int = 3):
     """Best-of-N full extraction runs at local[cpus] in THIS process.
 
     Timed portion = parquet scan → salted repartition → Arrow-batched
-    parse → aggregate.  The checksum pass runs untimed for cross-run
-    output-identity verification.
+    parse → aggregate (incl. a crc32 output checksum: determinism is
+    verified on the SAME pass that is timed, no extra execution).
+
+    Task width: the UDF stage runs ``SPARK_GRAFT_PAR_MULT`` (default 1)
+    tasks per core.  On this uniform corpus one wave of fat tasks wins —
+    each task pays a fixed Python-worker checkout + Arrow writer setup
+    (PLANS.md §6), and at 16+ cores that per-task floor is what erodes
+    scaling efficiency.  Real skewed corpora want 2-3x (the library
+    default in extract_pages) so stragglers average out.
     """
     from pyspark.sql import functions as F
 
     from dhtmlparser3_spark.pipeline.extract_job import extract_pages
     from dhtmlparser3_spark.plans.session import get_spark
 
-    spark = get_spark(app_name=f"bench-extract-{cpus}", cpus=cpus)
+    par_mult = float(os.environ.get("SPARK_GRAFT_PAR_MULT", "1"))
+    arrow_batch = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"))
+    parallelism = max(1, int(cpus * par_mult))
+    spark = get_spark(
+        app_name=f"bench-extract-{cpus}", cpus=cpus, arrow_batch_rows=arrow_batch
+    )
     try:
         path = _ensure_pages(spark, sf_dir, multiplier)
         pages = spark.read.parquet(path)
-        # Warm with a FULL run: the JVM's C2 JIT keeps speeding up the
-        # Arrow/shuffle path over the first few complete jobs (measured
-        # 6.2→4.9→4.1→2.7s across fresh identical jobs in one JVM) — a
-        # limit(5000) warmup under-compiles and the first timed runs pay it.
-        extract_pages(pages, with_metrics=False).agg(F.count("*")).collect()
 
-        best, agg = None, None
-        for _ in range(runs):
-            t0 = time.time()
-            agg = (
-                extract_pages(pages, with_metrics=False)
+        def job():
+            return (
+                extract_pages(
+                    pages, parallelism=parallelism, with_metrics=False
+                )
                 .agg(
                     F.count("*").alias("docs"),
                     F.sum("n_chars_out").alias("chars"),
                     F.sum(
                         F.when(F.col("error").isNotNull(), 1).otherwise(0)
                     ).alias("errors"),
+                    F.sum(F.crc32("extracted_text")).alias("checksum"),
                 )
                 .collect()[0]
             )
+
+        # Warm with a FULL run: the JVM's C2 JIT keeps speeding up the
+        # Arrow/shuffle path over the first few complete jobs (measured
+        # 6.2→4.9→4.1→2.7s across fresh identical jobs in one JVM) — a
+        # limit(5000) warmup under-compiles and the first timed runs pay it.
+        job()
+
+        best, agg = None, None
+        for _ in range(runs):
+            t0 = time.time()
+            agg = job()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         assert agg.errors == 0, f"extraction errors: {agg.errors}"
-        checksum = (
-            extract_pages(pages, with_metrics=False)
-            .agg(F.sum(F.crc32("extracted_text")).alias("c"))
-            .collect()[0]
-            .c
-        )
-        return int(agg.docs), best, int(checksum)
+        return int(agg.docs), best, int(agg.checksum)
     finally:
         spark.stop()
 
 
-def _pinned_extract(cores: int, sf_dir: str, multiplier: int):
+def _pinned_extract(cores: int, sf_dir: str, multiplier: int, runs: int = 2):
     """Run _run_extract in a subprocess pinned to ``cores`` CPUs."""
     cmd = [
         "taskset",
@@ -118,6 +131,7 @@ def _pinned_extract(cores: int, sf_dir: str, multiplier: int):
         str(cores),
         sf_dir,
         str(multiplier),
+        str(runs),
     ]
     env = dict(os.environ)
     out = subprocess.run(
@@ -183,9 +197,13 @@ def _bench_skew(cpus: int, sf_dir: str):
 
     spark = get_spark(app_name="bench-skew", cpus=cpus)
     try:
-        path = "/tmp/spark_graft_bench/pages_skew.parquet"
+        skew_mult = 40
+        tag = sf_dir.rstrip("/").split("/")[-1]
+        # cache keyed by (sf, multiplier) — a fixed path would silently
+        # reuse a stale corpus when re-run at a different scale factor
+        path = f"/tmp/spark_graft_bench/pages_skew_{tag}_m{skew_mult}.parquet"
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            pages = build_pages(spark, sf_dir, multiplier=40)
+            pages = build_pages(spark, sf_dir, multiplier=skew_mult)
             heavy = (F.xxhash64("url") % 20 == 0).alias("heavy")
             skewed = pages.withColumn("heavy", heavy).withColumn(
                 "html",
@@ -264,7 +282,8 @@ def bench_queries(cpus: int, sf_dir: str, reps: int = 2):
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "_extract":
         cores, sf_dir, mult = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
-        docs, secs, checksum = _run_extract(cores, sf_dir, mult, runs=3)
+        runs = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+        docs, secs, checksum = _run_extract(cores, sf_dir, mult, runs=runs)
         mp_secs = _mp_ceiling(cores, sf_dir, mult)
         print(
             json.dumps(
@@ -306,10 +325,12 @@ def main():
         # itself varies ~2x between windows), and interleaving keeps a bad
         # window from poisoning one width's number.
         passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
-        # 1M docs: long enough runs to amortize the per-job JVM floor and
-        # ride out single noise bursts (0.5M measured ~0.1 lower efficiency
-        # purely from the fixed overhead share)
-        smult = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "200"))
+        # 2M docs: the 16-core wall time must dwarf the per-job fixed floor
+        # (~1.5-2s of scheduling + worker/Arrow setup) or the ratio measures
+        # the floor, not the job — at 1M docs the 16-core run is only ~5s
+        # and raw efficiency reads ~0.77 from overhead share alone
+        smult = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "400"))
+        sruns = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
         # pre-build the scaling corpus with all cores before pinning
         from dhtmlparser3_spark.plans.session import get_spark as _gs
 
@@ -328,7 +349,7 @@ def main():
                 log(f"scaling: budget guard — stopping after pass {p - 1}")
                 break
             for cores in (4, 8, 16, 32):
-                r = _pinned_extract(cores, sf_dir, smult)
+                r = _pinned_extract(cores, sf_dir, smult, runs=sruns)
                 samples.setdefault(cores, []).append(
                     {"secs": round(r["secs"], 3), "mp_secs": round(r["mp_secs"], 3)}
                 )

@@ -22,10 +22,11 @@ Byte-identity traps honoured:
   renders to nothing (tag.py:152-153),
 * whitespace-only comments render ``<!-- -->`` (comment.py:5-9).
 
-``to_string``/``content_str``/``content_without_tags`` are *iterative*
-(explicit work stack): Common-Crawl junk HTML nests deeper than CPython's
-recursion limit; the reference would RecursionError there, we do not (the
-outputs are identical on anything the reference can parse).
+``to_string``/``content_str``/``content_without_tags``/``prettify`` are
+*iterative* (explicit work stack): Common-Crawl junk HTML nests deeper than
+CPython's recursion limit; the reference would RecursionError there, we do
+not (the outputs are identical on anything the reference can parse —
+pinned by tests/test_deep_nesting.py and the differential fuzz suites).
 """
 
 from __future__ import annotations
@@ -163,48 +164,113 @@ def comment_prettify(content: str, depth: int, dont_format: bool = False) -> str
     return f"{depth * '  '}{comment_to_string(content)}"
 
 
+class _PrettyFrame:
+    """One open tag (or virtual container) on the explicit prettify stack."""
+
+    __slots__ = ("nid", "depth", "dont_format", "virtual", "parts", "children", "idx")
+
+    def __init__(self, nid, depth, dont_format, virtual, children):
+        self.nid = nid
+        self.depth = depth
+        self.dont_format = dont_format
+        self.virtual = virtual
+        self.parts: List[str] = []
+        self.children = children
+        self.idx = 0
+
+
 def prettify(
     a: Arena, nid: Optional[int] = None, depth: int = 0, dont_format: bool = False
 ) -> str:
-    """tag.py:422-478 — recursive faithful port (not a hot path)."""
+    """tag.py:422-478, iterative (explicit frame stack).
+
+    The reference recurses per nesting level and RecursionErrors on
+    junk-HTML nests past CPython's limit; like to_string/content_str we
+    run on an explicit stack so depth is bounded by memory only.  Output
+    is byte-identical on anything the reference can prettify (pinned by
+    the differential fuzz tests in tests/test_dom_differential.py).
+    """
     if nid is None:
         nid = a.result_root
-    k = a.kind[nid]
-    if k == COMMENT:
-        return comment_prettify(a.text[nid], depth, dont_format)
-    if k == TEXT:
-        return a.text[nid]
+    kind_l, name_l, text_l, ch_l = a.kind, a.name, a.text, a.children
 
+    def start(n: int, d: int, df: bool):
+        """Return the finished string for leaf cases, else a new frame."""
+        k = kind_l[n]
+        if k == COMMENT:
+            return comment_prettify(text_l[n], d, df)
+        if k == TEXT:
+            return text_l[n]
+        name = name_l[n]
+        if name == "":
+            return _PrettyFrame(n, d, df, True, ch_l[n])
+        if a.non_pair[n] and not ch_l[n]:
+            return f"{d * '  '}{tag_to_str(a, n)}\n"
+        if not df and name in _DONT_FORMAT:
+            df = True
+        return _PrettyFrame(n, d, df, False, ch_l[n])
+
+    root = start(nid, depth, dont_format)
+    if isinstance(root, str):
+        return root
+    stack = [root]
+    while True:
+        fr = stack[-1]
+        pushed = False
+        while fr.idx < len(fr.children):
+            ch = fr.children[fr.idx]
+            fr.idx += 1
+            ck = kind_l[ch]
+            if fr.virtual:
+                # tag.py:464-478 — items prettified at depth 0, text kept
+                # only when non-whitespace (escaped)
+                if ck == TEXT:
+                    t = text_l[ch]
+                    if t.strip():
+                        fr.parts.append(html.escape(t))
+                    continue
+                sub = start(ch, 0, False)
+            else:
+                if ck == TEXT:
+                    t = text_l[ch]
+                    if fr.dont_format or t.strip():
+                        raw = name_l[fr.nid] in _DONT_ESCAPE
+                        fr.parts.append(t if raw else html.escape(t))
+                    continue
+                sub = start(ch, fr.depth + 1, fr.dont_format)
+            if isinstance(sub, str):
+                fr.parts.append(sub)
+            else:
+                stack.append(sub)
+                pushed = True
+                break
+        if pushed:
+            continue
+        done = _finish_pretty(a, fr)
+        stack.pop()
+        if not stack:
+            return done
+        stack[-1].parts.append(done)
+
+
+def _finish_pretty(a: Arena, fr: _PrettyFrame) -> str:
+    """Assemble a completed frame — the tail of tag.py:441-462 (or the
+    join of the virtual container, tag.py:476-478)."""
+    if fr.virtual:
+        return "\n".join(fr.parts)
+    nid = fr.nid
     name = a.name[nid]
-    if name == "":
-        return _prettify_virtual(a, nid)
-
     tag = tag_to_str(a, nid)
-    indent = depth * "  "
-
-    if a.non_pair[nid] and not a.children[nid]:
-        return f"{indent}{tag}\n"
-
+    indent = fr.depth * "  "
     end_tag = "" if a.non_pair[nid] else f"</{name}>"
+    content = "".join(fr.parts)
 
-    if not dont_format and name in _DONT_FORMAT:
-        dont_format = True
-
-    raw = name in _DONT_ESCAPE
-
-    content = ""
-    for ch in a.children[nid]:
-        if a.kind[ch] == TEXT:
-            t = a.text[ch]
-            if dont_format or t.strip():
-                content += t if raw else html.escape(t)
-        else:
-            content += prettify(a, ch, depth + 1, dont_format=dont_format)
-
-    if dont_format:
+    if fr.dont_format:
         return f"{tag}{content}{end_tag}\n"
 
-    is_multiline = sum(1 for x in content.strip() if x == "\n") > 1
+    # == reference's per-char newline count over the stripped content,
+    # done at C speed (the per-char generator is O(subtree²) on deep nests)
+    is_multiline = content.strip().count("\n") > 1
     if is_multiline:
         if content.endswith("\n"):
             return f"{indent}{tag}\n{content}{indent}{end_tag}\n"
@@ -214,16 +280,3 @@ def prettify(
         return f"{indent}{tag}\n{content}{indent}{end_tag}\n"
 
     return f"{indent}{tag}{content}{end_tag}\n"
-
-
-def _prettify_virtual(a: Arena, nid: int) -> str:
-    """tag.py:464-478 — the empty-name container joins prettified items."""
-    outputs = []
-    for ch in a.children[nid]:
-        if a.kind[ch] == TEXT:
-            t = a.text[ch]
-            if t.strip():
-                outputs.append(html.escape(t))
-        else:
-            outputs.append(prettify(a, ch, 0))
-    return "\n".join(outputs)

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dhtmlparser3_spark.functions.textops import hash60_col, tokens_col
+from dhtmlparser3_spark.functions.textops import (
+    hash60_col,
+    token_list,
+    tokens_col,
+)
 
 # corpus-construction constants (mirrored in the DuckDB oracle SQL)
 NEAR_DUP_MOD = 7
@@ -74,25 +78,12 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-# Java-exact tokenization twins (trim = String.trim: strips chars <= 0x20;
-# split = java.util.regex \s+ which is ASCII-only): byte-identical shingles
-# whether built by the SQL expressions or the Arrow UDF below.
-_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
-_WS_RE = None  # compiled lazily inside the worker
-
-
 def _shingle_list(text, n: int):
-    global _WS_RE
-    if _WS_RE is None:
-        import re
-
-        _WS_RE = re.compile(r"\s+", re.ASCII)
-    if text is None:
-        return []
-    s = text.strip(_JAVA_TRIM)
-    if not s:
-        return []
-    toks = _WS_RE.split(s)
+    """Python twin of the SQL shingling: textops.token_list is byte-exact
+    against both tokens_col (Spark) and the DuckDB oracle's _toks (see the
+    tokenization note in textops.py), so shingles agree across all three
+    engines including tab/newline/\\x0b-edged texts."""
+    toks = token_list(text)
     if len(toks) < n:
         return []
     joined = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
@@ -131,13 +122,16 @@ def shingle_sets(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame
 
 
 def _pair_jaccard(shingles: DataFrame) -> DataFrame:
-    """Exact Jaccard over ALL co-shingled pairs — the brute-force baseline
+    """Jaccard over ALL co-shingled pairs — the brute-force baseline
     (quadratic in co-shingled docs; LSH verification uses
-    :func:`_verify_candidates` instead, which never goes quadratic)."""
+    :func:`_verify_candidates` instead, which never goes quadratic).
+    Exact up to 64-bit hash collisions: intersections are counted on
+    xxhash64(shingle), so a colliding pair of distinct shingles would
+    inflate the count by 1 (odds ~ |shingles|^2 / 2^64 per doc pair; the
+    exact-string DuckDB oracle would flag it)."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # join on the 64-bit shingle hash, not the string: 8-byte shuffle keys
-    # and fixed-width comparisons (collision odds ~ |shingles|^2 / 2^64 —
-    # negligible against the exact-string DuckDB oracle this is checked by)
+    # and fixed-width comparisons
     hashed = shingles.select("doc_id", F.xxhash64("sh").alias("sh"))
     a = hashed.alias("a")
     b = hashed.alias("b")
@@ -192,8 +186,9 @@ def _verify_candidates(arrays: DataFrame, candidates: DataFrame) -> DataFrame:
 def jaccard_pairs(
     df: DataFrame, n: int = 3, tau_pct: int = 60, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Brute exact n-gram-Jaccard near-dup pairs (the small-scale baseline
-    and the verifier for LSH)."""
+    """Brute n-gram-Jaccard near-dup pairs (the small-scale baseline and
+    the verifier for LSH); exact up to 64-bit hash collisions, see
+    :func:`_pair_jaccard`."""
     sh = shingle_sets(df, n, id_col)
     return _pair_jaccard(sh).where(F.col("jacc_pct") >= tau_pct)
 

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dhtmlparser3_spark.functions.dedup import _JAVA_TRIM
+from dhtmlparser3_spark.functions.textops import token_list
 
 try:  # the real-codec seam — not available in this container
     import pypdf  # type: ignore # noqa: F401
@@ -48,21 +48,9 @@ BLOCKS_SCHEMA = (
 )
 LAYOUT_TEXT_SCHEMA = "doc_id bigint, main_text string, n_pages int"
 
-_WS_RE = None
-
-
-def _tokens(text) -> list:
-    """Java-parity tokenization (trim chars <= 0x20; ASCII \\s+ split) —
-    identical to the SQL `_toks()` twin in the oracle."""
-    global _WS_RE
-    if _WS_RE is None:
-        import re
-
-        _WS_RE = re.compile(r"\s+", re.ASCII)
-    if text is None:
-        return []
-    s = text.strip(_JAVA_TRIM)
-    return _WS_RE.split(s) if s else []
+# byte-exact against Spark's tokens_col and the oracle's _toks() — see the
+# tokenization note in functions/textops.py
+_tokens = token_list
 
 
 def _doc_blocks(doc_id: int, toks: list):

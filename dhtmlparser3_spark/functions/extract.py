@@ -344,75 +344,96 @@ def make_stats_iterator(passthrough=("url", "warc_ts", "lang")):
     return run
 
 
-def udf_content_str():
-    """pandas_udf: html (binary/string) → content_str string column."""
+# per-document serializers for the scalar UDFs below (the parse itself can
+# raise — the reference propagates chr() ValueError on out-of-range numeric
+# entities, tokens.py:147-148, and we keep that parity in the engine)
+_SERIALIZERS = {
+    "content_str": lambda a: serialize.content_str(a),
+    "main_text": lambda a: main_text(a),
+    "to_string": lambda a: serialize.to_string(a),
+    "prettify": lambda a: serialize.prettify(a),
+    "content_without_tags": lambda a: serialize.content_without_tags(a),
+}
+
+
+def _udf_serialize(what: str):
+    """pandas_udf: html → serialized string; a failing document yields NULL
+    instead of killing the job (error-row policy of extract_one — at 10^12
+    docs one poison page must never fail a task; use
+    :func:`udf_serialize_errors` when the error text is needed)."""
     from pyspark.sql.functions import pandas_udf
 
+    fn = _SERIALIZERS[what]
+
+    def one(h):
+        try:
+            return fn(parse_arena(decode_html(h)))
+        except Exception:  # noqa: BLE001 — error-row at scale, never a crash
+            return None
+
     @pandas_udf("string")
-    def _content_str(html: pd.Series) -> pd.Series:
+    def _ser(html: pd.Series) -> pd.Series:
+        gc_was = gc.isenabled()
         gc.disable()
         try:
-            return html.map(
-                lambda h: serialize.content_str(parse_arena(decode_html(h)))
-            )
+            return html.map(one)
         finally:
-            gc.enable()
+            if gc_was:
+                gc.enable()
 
-    return _content_str
+    return _ser
+
+
+def udf_serialize_errors(what: str):
+    """pandas_udf: html → struct<value, error>: value NULL + error message
+    on parse/serialize failure, mirroring extract_one's error column — the
+    production-shape variant proven by the ``extract_errors`` driver query."""
+    from pyspark.sql.functions import pandas_udf
+
+    fn = _SERIALIZERS[what]
+
+    def one(h):
+        try:
+            return {"value": fn(parse_arena(decode_html(h))), "error": None}
+        except Exception as e:  # noqa: BLE001
+            return {"value": None, "error": f"{type(e).__name__}: {e}"}
+
+    @pandas_udf("struct<value:string,error:string>")
+    def _ser(html: pd.Series) -> pd.DataFrame:
+        gc_was = gc.isenabled()
+        gc.disable()
+        try:
+            return pd.DataFrame(list(html.map(one)), index=html.index)
+        finally:
+            if gc_was:
+                gc.enable()
+
+    return _ser
+
+
+def udf_content_str():
+    """pandas_udf: html (binary/string) → content_str string column."""
+    return _udf_serialize("content_str")
 
 
 def udf_main_text():
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _main_text(html: pd.Series) -> pd.Series:
-        gc.disable()
-        try:
-            return html.map(lambda h: main_text(parse_arena(decode_html(h))))
-        finally:
-            gc.enable()
-
-    return _main_text
+    return _udf_serialize("main_text")
 
 
 def udf_to_string():
     """Round-trip serialization (Tag.to_string of the parsed root)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _to_string(html: pd.Series) -> pd.Series:
-        return html.map(
-            lambda h: serialize.to_string(parse_arena(decode_html(h)))
-        )
-
-    return _to_string
+    return _udf_serialize("to_string")
 
 
 def udf_prettify():
     """Re-indented serialization (Tag.prettify, tag.py:422-478)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _prettify(html: pd.Series) -> pd.Series:
-        return html.map(
-            lambda h: serialize.prettify(parse_arena(decode_html(h)))
-        )
-
-    return _prettify
+    return _udf_serialize("prettify")
 
 
 def udf_content_without_tags():
     """Raw text concat, comments dropped (tag.py:75-88) — no boilerplate
     strip (contrast udf_main_text)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _cwt(html: pd.Series) -> pd.Series:
-        return html.map(
-            lambda h: serialize.content_without_tags(parse_arena(decode_html(h)))
-        )
-
-    return _cwt
+    return _udf_serialize("content_without_tags")
 
 
 def udf_nodes(fields=None):

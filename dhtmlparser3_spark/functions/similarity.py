@@ -101,16 +101,36 @@ def embedding_dup_corpus(emb: DataFrame, id_col: str = "vec_id", vec_col: str = 
     ).unionByName(pert)
 
 
-def embedding_dup_pairs(
+def _cosine_verify_pairs(corpus: DataFrame, cand: DataFrame, tau: float) -> DataFrame:
+    """Exact cosine for candidate (a_id, b_id) pairs: two broadcast-shaped
+    joins against the corpus (the candidate side is tiny — AQE broadcasts
+    it), same deterministic left-fold arithmetic as the brute path so the
+    surviving rows are bit-identical to brute force."""
+    a = corpus.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")
+    )
+    j = cand.join(a, "a_id").join(b, "b_id")
+    sim = dot_col(F.col("a_v"), F.col("b_v")) / (
+        norm_col(F.col("a_v")) * norm_col(F.col("b_v"))
+    )
+    return (
+        j.select("a_id", "b_id", sim.alias("sim"))
+        .where(F.col("sim") >= tau)
+        .select(
+            "a_id", "b_id", F.floor(100 * F.col("sim")).cast("int").alias("sim_pct")
+        )
+    )
+
+
+def embedding_dup_pairs_brute(
     emb: DataFrame, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute): all pairs with cos ≥ τ.
-
-    Scale note: quadratic by nature — at 10^12 rows you run the LSH bucket
-    variant (lsh_ann_topk's bucketing) to generate candidates and verify
-    them with this exact cosine; the brute form is the correctness oracle
-    and the small-corpus baseline.
-    """
+    """Embedding-cosine near-dup pairs, brute force: ALL pairs with cos ≥ τ.
+    Quadratic in corpus size — the small-corpus baseline and the recall
+    oracle for :func:`embedding_dup_pairs` (which is what ships)."""
     corpus = embedding_dup_corpus(emb, id_col, vec_col)
     a = corpus.alias("a")
     b = corpus.alias("b")
@@ -127,6 +147,62 @@ def embedding_dup_pairs(
         .where(F.col("sim") >= tau)
         .select("a_id", "b_id", F.floor(100 * F.col("sim")).cast("int").alias("sim_pct"))
     )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the SHIPPED operator: LSH-bucketed
+    candidate generation + exact-cosine verification.
+
+    Scale shape: one corpus scan computes all L bucket keys per vector in a
+    single numpy matmul (``_bucket_udf``), candidates are pairs sharing any
+    (table, bucket) — grouped per bucket so the quadratic step is bounded
+    by bucket size — then the tiny candidate set is verified with the exact
+    cosine (bit-identical arithmetic to the brute baseline).  Never
+    materializes the O(n²) pair space the brute form joins through.
+
+    Recall (defaults m=8 bits, L=8 tables; miss = (1-p^m)^L where
+    p = 1-θ/π): near-identical vectors — the dup-detection operating point
+    — are essentially never missed (cos 0.99 ⇒ p≈0.955, miss ≈ 3e-5; the
+    constructed dups here sit at cos≈0.997, miss ≈ 1e-6); a borderline
+    τ=0.9 pair (p≈0.857) misses w.p. ≈ 0.06 — lower ``n_planes`` if the
+    workload has mass at the threshold.  The driver's DuckDB oracle IS the
+    brute result, so any miss turns the correctness row red — recall is
+    continuously audited, not assumed.
+    """
+    corpus = embedding_dup_corpus(emb, id_col, vec_col)
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes * n_tables, dim)
+    buckets = _bucket_udf(planes, n_planes, n_tables)
+    banded = corpus.select(
+        "vec_id", F.posexplode(buckets(F.col("embedding"))).alias("t", "b")
+    )
+    grouped = (
+        banded.groupBy("t", "b")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("a_id"), b.alias("b_id")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        .distinct()
+    )
+    return _cosine_verify_pairs(corpus, cand, tau)
 
 
 def ivf_ann_topk(

@@ -8,7 +8,7 @@ hash-differently across engines, counts don't).
 Operators: token counting (whitespace regex), quality scoring (length /
 punctuation / stopword / alpha ratios as integer counts), language ID
 (stopword-profile voting with deterministic tie-break), document
-fingerprinting (k-gram rolling-hash winnowing, fully relational).
+fingerprinting (k-gram hash winnowing, computed map-side per document).
 """
 
 from __future__ import annotations
@@ -17,6 +17,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WS = r"\s+"
+
+# Tokenization is byte-identical across THREE engines (pinned in
+# tests/test_dedup_textops.py::test_token_twins_on_whitespace_edges):
+#   * Spark:  trim(col) strips ' ' only; Java-regex \s = [ \t\n\x0b\f\r]
+#   * Python: str.strip(' '); re.ASCII \s = [ \t\n\r\f\x0b]  (same set)
+#   * DuckDB: trim() strips ' ' only; RE2 \s EXCLUDES \x0b, so the oracle
+#     pattern must be [\s\x0b]+ (see __spark_entry__._toks)
+_WS_RE = None  # compiled lazily inside the worker
+
+
+def token_list(text) -> list:
+    """Python twin of :func:`tokens_col` — same trim set, same split set."""
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"\s+", re.ASCII)
+    if text is None:
+        return []
+    s = text.strip(" ")
+    if not s:
+        return []
+    return _WS_RE.split(s)
 
 STOPWORDS_EN = [
     "the", "a", "and", "of", "to", "in", "is", "it", "that", "for",
@@ -129,6 +152,26 @@ def hash60_col(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def winnow_list(text, k: int = 5, window: int = 4) -> list:
+    """Winnowing fingerprints of ONE document (Schleimer et al., SIGMOD'03):
+    tokens → k-gram strings → 60-bit md5 hash → sliding-window min →
+    per-doc distinct.  The hash is ``int(md5(gram)[:15 hex], 16)`` —
+    identical to :func:`hash60_col` and the DuckDB oracle expression."""
+    from hashlib import md5
+
+    toks = token_list(text)
+    if len(toks) < k:
+        return []
+    hs = [
+        int(md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()[:15], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    if len(hs) < window:
+        return []
+    out = {min(hs[i : i + window]) for i in range(len(hs) - window + 1)}
+    return sorted(out)
+
+
 def fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -136,35 +179,31 @@ def fingerprints(
     k: int = 5,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03) —
-    fully relational: posexplode tokens → k-gram via lead() window → 60-bit
-    hash → sliding-window min → distinct.
+    """Winnowing document fingerprints, computed MAP-SIDE per document by an
+    Arrow-vectorized pandas UDF, then exploded to (doc_id, fingerprint).
 
-    Scale: one shuffle per window step over (doc, pos) — at 100 TB you
-    bound it by fingerprinting the extracted main_text (short) and
-    pre-partitioning by doc hash so both windows are partition-local.
+    The pure-relational formulation (posexplode → lead() window → min()
+    window) shuffles one row PER TOKEN through two ``(doc, pos)`` window
+    exchanges — ~5x10^14 shuffled rows at the design point, the exact shape
+    PLANS.md §6 measured and rejected for shingling.  Winnowing is a
+    per-document computation, so it belongs in the same place as shingles
+    (dedup.shingle_arrays): inside the worker, zero exchanges.  The DuckDB
+    oracle (__spark_entry__._sql_fingerprints) is the unchanged relational
+    form — the two derivations cross-check each other.
     """
-    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens_col(col)).alias("pos", "tok")
+    @pandas_udf("array<long>")
+    def _fps(texts):
+        return texts.map(lambda t: winnow_list(t, k, window))
+
+    # explode_outer + post-filter, NOT plain explode: for a non-outer
+    # Generate the optimizer infers a `size(udf(..)) > 0` filter below the
+    # Generate and DUPLICATES the Python UDF call (verified in the plan —
+    # two ArrowEvalPython nodes, 2x the parse cost); outer explode keeps a
+    # single UDF evaluation and the null rows are dropped for free after
+    return (
+        df.select(F.col(id_col), _fps(F.col(col)).alias("fps"))
+        .select(id_col, F.explode_outer("fps").alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    gram = F.concat_ws(" ", *[F.lead("tok", i).over(w) for i in range(k)])
-    n_tok = F.count("*").over(Window.partitionBy(id_col))
-    grams = (
-        toks.withColumn("gram", gram)
-        .withColumn("n_tok", n_tok)
-        .where(F.col("pos") <= F.col("n_tok") - k)
-        .select(id_col, "pos", hash60_col(F.col("gram")).alias("h"))
-    )
-    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    n_gram = F.count("*").over(Window.partitionBy(id_col))
-    fps = (
-        grams.withColumn("wmin", F.min("h").over(wmin))
-        .withColumn("n_gram", n_gram)
-        .where(F.col("pos") <= F.col("n_gram") - window)
-        .select(id_col, F.col("wmin").alias("fingerprint"))
-        .distinct()
-    )
-    return fps

@@ -28,6 +28,33 @@ from dhtmlparser3_spark.functions.extract import (
     make_extract_iterator,
     make_stats_iterator,
 )
+from dhtmlparser3_spark.plans.layout import has_parallelism
+
+_REPARTITION_MODES = ("salted", "none", "auto")
+
+
+def _apply_repartition(
+    df: DataFrame, repartition: str, parallelism: int, salt: int
+) -> DataFrame:
+    """Shared pre-UDF layout resolution for extract_pages/extract_stats —
+    one definition so both jobs agree on what "auto" means, and typos fail
+    loudly instead of silently running unshuffled."""
+    if repartition not in _REPARTITION_MODES:
+        raise ValueError(
+            f"repartition={repartition!r}: expected one of {_REPARTITION_MODES}"
+        )
+    sc = df.sparkSession.sparkContext
+    if repartition == "auto":
+        repartition = (
+            "none"
+            if has_parallelism(df, 2 * sc.defaultParallelism)
+            else "salted"
+        )
+    if repartition == "salted":
+        # salted repartition on url-hash: defuses host-level skew *before*
+        # the Python stage (AQE can't split a straggling UDF task afterwards)
+        return df.repartition(parallelism, F.xxhash64(F.col("url"), F.lit(salt)))
+    return df
 
 
 def extract_pages(
@@ -61,13 +88,7 @@ def extract_pages(
     sc = df.sparkSession.sparkContext
     if parallelism is None:
         parallelism = sc.defaultParallelism * 2
-    if repartition == "auto":
-        nsplits = df.rdd.getNumPartitions()
-        repartition = "none" if nsplits >= 2 * sc.defaultParallelism else "salted"
-    if repartition == "salted":
-        # salted repartition on url-hash: defuses host-level skew *before*
-        # the Python stage (AQE can't split a straggling UDF task afterwards)
-        df = df.repartition(parallelism, F.xxhash64(F.col("url"), F.lit(salt)))
+    df = _apply_repartition(df, repartition, parallelism, salt)
     out = df.mapInPandas(make_extract_iterator(), schema=EXTRACT_SCHEMA)
     if with_metrics:
         out = out.observe(
@@ -96,6 +117,5 @@ def extract_stats(
     sc = df.sparkSession.sparkContext
     if parallelism is None:
         parallelism = sc.defaultParallelism * 2
-    if repartition == "salted":
-        df = df.repartition(parallelism, F.xxhash64(F.col("url"), F.lit(salt)))
+    df = _apply_repartition(df, repartition, parallelism, salt)
     return df.mapInPandas(make_stats_iterator(), schema=STATS_SCHEMA)

@@ -117,6 +117,69 @@ EXPECTED_CONTENT_STR: List[List[Piece]] = [
     ],
 ]
 
+# prettify of the parsed root (tag.py:422-478), derived from the reference
+# and pinned against it in tests/test_spark_extract.py.  One spec covers
+# empty AND non-empty payloads: the corpus text is newline-free with no
+# leading/trailing whitespace, so the payload never flips a multiline /
+# indent heuristic — dropping the text node (empty payload) produces
+# exactly the same bytes as substituting '' for etext.
+EXPECTED_PRETTIFY: List[List[Piece]] = [
+    [
+        ("lit", "<html>\n  <head>\n    <title>"),
+        ("id",),
+        ("lit", "</title>\n  </head>\n  <body>\n    <p>"),
+        ("etext",),
+        ("lit", "</p>\n  </body>\n</html>\n"),
+    ],
+    [
+        ("lit", "<html>\n  <head>\n    <title>"),
+        ("id",),
+        (
+            "lit",
+            "</title>\n<style>p { }</style>\n  </head>\n  <body>\n"
+            "    <!-- nav --><script>var x = 1;</script>\n    <p>",
+        ),
+        ("etext",),
+        (
+            "lit",
+            '</p>\n    <div class="footer">(c) example.com</div>\n'
+            "  </body>\n</html>\n",
+        ),
+    ],
+    [
+        (
+            "lit",
+            "<html>\n  <body>\n    <div>\n      <br />\n"
+            '      <img src="x.png" />\n',
+        ),
+        ("etext",),
+        (
+            "lit",
+            "      <hr />\n    </div>\n    <p>tail</p>\n  </body>\n</html>\n",
+        ),
+    ],
+    [
+        ("lit", "<html>\n  <body>\n    <p>"),
+        ("etext",),
+        (
+            "lit",
+            " &amp; &lt;tag&gt; AA \xa0 \xa9 &amp;unknown;</p>\n"
+            "  </body>\n</html>\n",
+        ),
+    ],
+    [
+        ("lit", '<html>\n  <body>\n    <div id="d'),
+        ("id",),
+        (
+            "lit",
+            '" class="content main" data-x="bare">\n'
+            '      <div CLASS="inner" title="line1\nline2">',
+        ),
+        ("etext",),
+        ("lit", "</div>\n    </div>\n  </body>\n</html>\n"),
+    ],
+]
+
 # main_text = content_without_tags after removing script/style subtrees
 # (comments are already dropped by content_without_tags, tag.py:75-88)
 EXPECTED_MAIN_TEXT: List[List[Piece]] = [
@@ -287,6 +350,8 @@ def pages_oracle_sql(sf_dir: str, what: str) -> str:
         val = case_over_templates_sql(EXPECTED_MAIN_TEXT)
     elif what == "content_without_tags":
         val = case_over_templates_sql(EXPECTED_CWT)
+    elif what == "prettify":
+        val = case_over_templates_sql(EXPECTED_PRETTIFY)
     elif what == "html":
         val = case_over_templates_sql(TEMPLATES)
     else:  # pragma: no cover

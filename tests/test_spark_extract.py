@@ -47,6 +47,29 @@ def test_template_specs_match_reference(ref):
             assert dom.content_without_tags() == want_mt, f"template {t} main_text"
 
 
+def test_prettify_spec_matches_reference(ref):
+    """EXPECTED_PRETTIFY piece-lists == reference prettify on the same html.
+
+    Valid for any payload with ≤1 newline, no leading/trailing whitespace
+    (a ≥2-newline payload would flip the <p> multiline heuristic) — the
+    corpus satisfies this (tests below run the real corpus through Spark).
+    """
+    samples = [
+        (0, "plain words here"),
+        (1, "ampersand & less < more > quote \" tick '"),
+        (2, "unicode π € \xa0 ok"),
+        (3, ""),
+        (4, "multi\nline\ttext"),
+        (7, "already &amp; escaped-looking"),
+    ]
+    for doc_id, text in samples:
+        for t in range(5):
+            did = doc_id * 5 + t
+            html = pg.compile_py(pg.TEMPLATES[t], did, text)
+            want = pg.compile_py(pg.EXPECTED_PRETTIFY[t], did, text)
+            assert ref.parse(html).prettify() == want, f"template {t} prettify"
+
+
 def test_extract_series_matches_reference(ref):
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     htmls = [
