@@ -1,0 +1,96 @@
+"""Three-engine tokenization equivalence + map-side winnowing parity.
+
+The dedup/fingerprint operators hinge on ONE tokenizer implemented three
+ways (Spark ``tokens_col``, Python ``token_list``, DuckDB ``_toks()``);
+this file pins byte-equality on the whitespace edges where the engines'
+regex dialects differ (Java/Python \\s include \\x0b, DuckDB's RE2 does
+not — the oracle pattern compensates with [\\s\\x0b]+), and checks the
+Arrow-UDF winnowing against the relational DuckDB derivation on the same
+edge corpus.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from dhtmlparser3_spark.functions.textops import token_list, winnow_list
+
+EDGE_TEXTS = [
+    "plain words here ok",
+    "",
+    " ",
+    "  double  spaces  ",
+    "\tleading tab",
+    "trailing newline\n",
+    "inner\ttab and\nnewline",
+    "vertical\x0btab",
+    "\x0b",
+    "nbsp\xa0is not whitespace",
+    "\r carriage \r\n returns \r",
+    "one",
+    "a b c d e f g h i j k l m n o p",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql("CREATE TABLE edge(id INT, text VARCHAR)")
+    for i, t in enumerate(EDGE_TEXTS):
+        con.execute("INSERT INTO edge VALUES (?, ?)", [i, t])
+    return con
+
+
+def test_token_twins_on_whitespace_edges(spark, duck):
+    from pyspark.sql import functions as F
+
+    from dhtmlparser3_spark.functions.textops import tokens_col
+
+    sdf = spark.createDataFrame(
+        list(enumerate(EDGE_TEXTS)), "id int, text string"
+    )
+    spark_toks = {
+        r.id: list(r.toks)
+        for r in sdf.select("id", tokens_col("text").alias("toks")).collect()
+    }
+    duck_toks = {
+        i: list(t)
+        for i, t in duck.sql(
+            f"SELECT id, {entrymod._toks()} FROM edge"
+        ).fetchall()
+    }
+    for i, text in enumerate(EDGE_TEXTS):
+        py = token_list(text)
+        assert spark_toks[i] == py, f"spark vs py on {text!r}"
+        assert duck_toks[i] == py, f"duckdb vs py on {text!r}"
+
+
+def test_winnow_matches_duckdb_relational(duck):
+    """Map-side winnow_list == the oracle's posexplode/window derivation."""
+    sql = entrymod._sql_fingerprints(k=3, window=2).replace(
+        "FROM documents", "FROM edge"
+    ).replace("doc_id", "id")
+    want: dict[int, set] = {}
+    for i, fp in duck.sql(sql).fetchall():
+        want.setdefault(i, set()).add(fp)
+    for i, text in enumerate(EDGE_TEXTS):
+        got = set(winnow_list(text, k=3, window=2))
+        assert got == want.get(i, set()), f"winnow mismatch on {text!r}"
+
+
+def test_shingle_twin_on_edges(duck):
+    from dhtmlparser3_spark.functions.dedup import _shingle_list
+
+    sql = f"""
+      WITH arrs AS (SELECT id, {entrymod._toks()} AS arr FROM edge)
+      SELECT id,
+             [array_to_string(list_slice(arr, i, i + 2), ' ')
+              for i in generate_series(1, len(arr) - 2)] AS shs
+      FROM arrs WHERE len(arr) >= 3
+    """
+    want = {i: list(dict.fromkeys(s)) for i, s in duck.sql(sql).fetchall()}
+    for i, text in enumerate(EDGE_TEXTS):
+        got = _shingle_list(text, 3)
+        assert got == want.get(i, []), f"shingle mismatch on {text!r}"
