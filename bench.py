@@ -78,8 +78,21 @@ def _run_extract(cpus: int, sf_dir: str, multiplier: int, runs: int = 3):
     par_mult = float(os.environ.get("SPARK_GRAFT_PAR_MULT", "1"))
     arrow_batch = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"))
     parallelism = max(1, int(cpus * par_mult))
+    # AQE OFF for the extraction job (override: SPARK_GRAFT_AQE=1): its
+    # only exchange is the explicit fixed-partition salted repartition —
+    # nothing for AQE to re-plan — yet each adaptive query stage adds a
+    # materialization barrier + planning pass that costs ~1s at 16 cores
+    # (measured interleaved A/B: t16 5.4-6.4s AQE-on vs 4.3-4.6s off, t4
+    # unchanged; raw 4→16 efficiency 0.69 vs 0.83 in the same windows).
+    # The relational tier keeps AQE on (plans/session.py default).
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_AQE", "0") == "0":
+        extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
-        app_name=f"bench-extract-{cpus}", cpus=cpus, arrow_batch_rows=arrow_batch
+        app_name=f"bench-extract-{cpus}",
+        cpus=cpus,
+        arrow_batch_rows=arrow_batch,
+        extra_conf=extra,
     )
     try:
         path = _ensure_pages(spark, sf_dir, multiplier)
@@ -324,13 +337,14 @@ def main():
         # has noisy multi-second throughput swings (the pure-mp ceiling
         # itself varies ~2x between windows), and interleaving keeps a bad
         # window from poisoning one width's number.
-        passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
-        # 2M docs: the 16-core wall time must dwarf the per-job fixed floor
-        # (~1.5-2s of scheduling + worker/Arrow setup) or the ratio measures
-        # the floor, not the job — at 1M docs the 16-core run is only ~5s
-        # and raw efficiency reads ~0.77 from overhead share alone
-        smult = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "400"))
-        sruns = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
+        passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "4"))
+        # 1M docs, NOT more: the sandbox VM throttles sustained load (the
+        # pure-mp ceiling itself degrades superlinearly on 2M-doc runs —
+        # measured eff drop from ~0.81 to ~0.76 with the ceiling degrading
+        # in lockstep), so short runs + more interleaved passes beat longer
+        # runs; the per-job fixed floor is amortized by min-of-passes
+        smult = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "200"))
+        sruns = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
         # pre-build the scaling corpus with all cores before pinning
         from dhtmlparser3_spark.plans.session import get_spark as _gs
 
