@@ -384,6 +384,41 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
+def _q_rep_filters(spark, sf_dir):
+    """Gopher-style repetition quality filters (duplicate-token pct pure
+    columnar; top-2/3-gram pct via one map-side Arrow UDF)."""
+    from dhtmlparser3_spark.functions.quality_filters import with_repetition
+
+    docs = _docs(spark, sf_dir)
+    return with_repetition(docs).select(
+        "doc_id", "pct_dup_tokens", "pct_top_2gram", "pct_top_3gram"
+    )
+
+
+def _q_pii_counts(spark, sf_dir):
+    """PII-shaped pattern counters over a corpus with deterministic
+    injected PII (the natural corpus has none — the injection makes the
+    counters provably fire; same construction in the oracle)."""
+    from dhtmlparser3_spark.functions.quality_filters import (
+        pii_corpus,
+        with_pii_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return with_pii_counts(pii_corpus(docs)).select(
+        "doc_id", "n_emails", "n_urls", "n_digit_runs"
+    )
+
+
+def _q_url_features(spark, sf_dir):
+    """URL parsing for curation keys; the oracle recomputes every feature
+    closed-form from doc_id/source instead of parsing the url."""
+    from dhtmlparser3_spark.functions.quality_filters import url_features
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    return url_features(build_pages(spark, sf_dir))
+
+
 def _q_fingerprints(spark, sf_dir):
     from dhtmlparser3_spark.functions.textops import fingerprints
 
@@ -646,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "rep_filters": _q_rep_filters,
+        "pii_counts": _q_pii_counts,
+        "url_features": _q_url_features,
         "fingerprints": _q_fingerprints,
         "exact_dups": _q_exact_dups,
         "jaccard_brute": _q_jaccard_brute,
@@ -794,6 +832,37 @@ def _sql_lang_id() -> str:
                   WHEN hits_de >= hits_fr THEN 'de'
                   ELSE 'fr' END AS lang_pred
       FROM base
+    """
+
+
+def _sql_pii_counts() -> str:
+    """DuckDB twin of quality_filters.pii_corpus + with_pii_counts — the
+    regexes and the injected suffix are IMPORTED constants, evaluated by
+    RE2 vs Java regex (portable subset, see quality_filters.py)."""
+    from dhtmlparser3_spark.functions import quality_filters as qf
+
+    did = "CAST(doc_id AS VARCHAR)"
+    suffix = (
+        f"' contact user' || {did} || "
+        f"'@mail.example now or visit https://pii.example/u/' || {did} || "
+        f"' or call 12345678901 twice'"
+    )
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    return f"""
+      WITH c AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {qf.PII_MOD} = 0 THEN text || {suffix}
+                    ELSE text END AS text
+        FROM documents
+      )
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{esc(qf.EMAIL_RE)}'))::INT AS n_emails,
+             len(regexp_extract_all(text, '{esc(qf.URL_RE)}'))::INT AS n_urls,
+             len(regexp_extract_all(text, '{esc(qf.DIGIT_RUN_RE)}'))::INT AS n_digit_runs
+      FROM c
     """
 
 
@@ -1008,6 +1077,54 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "rep_filters": f"""
+          WITH arrs AS (SELECT doc_id, {_toks()} AS arr FROM documents),
+          base AS (
+            SELECT doc_id, len(arr) AS n, len(list_distinct(arr)) AS d
+            FROM arrs
+          ),
+          g2 AS (
+            SELECT doc_id,
+                   unnest([array_to_string(list_slice(arr, i, i + 1), ' ')
+                           for i in generate_series(1, len(arr) - 1)]) AS gm
+            FROM arrs WHERE len(arr) >= 2
+          ),
+          c2 AS (
+            SELECT doc_id, max(c) AS mx, sum(c) AS tot
+            FROM (SELECT doc_id, gm, count(*) AS c FROM g2 GROUP BY 1, 2)
+            GROUP BY 1
+          ),
+          g3 AS (
+            SELECT doc_id,
+                   unnest([array_to_string(list_slice(arr, i, i + 2), ' ')
+                           for i in generate_series(1, len(arr) - 2)]) AS gm
+            FROM arrs WHERE len(arr) >= 3
+          ),
+          c3 AS (
+            SELECT doc_id, max(c) AS mx, sum(c) AS tot
+            FROM (SELECT doc_id, gm, count(*) AS c FROM g3 GROUP BY 1, 2)
+            GROUP BY 1
+          )
+          SELECT b.doc_id,
+                 CASE WHEN n <= 0 THEN 0
+                      ELSE CAST(FLOOR(100.0 * (n - d) / n) AS INT)
+                 END AS pct_dup_tokens,
+                 COALESCE(CAST(100 * c2.mx // c2.tot AS INT), 0) AS pct_top_2gram,
+                 COALESCE(CAST(100 * c3.mx // c3.tot AS INT), 0) AS pct_top_3gram
+          FROM base b
+          LEFT JOIN c2 ON c2.doc_id = b.doc_id
+          LEFT JOIN c3 ON c3.doc_id = b.doc_id
+        """,
+        "pii_counts": _sql_pii_counts(),
+        "url_features": """
+          SELECT printf('https://host%02d.example/%s/%d.html',
+                        (doc_id % 97)::INT, source, doc_id) AS url,
+                 printf('host%02d.example', (doc_id % 97)::INT) AS host,
+                 'example' AS tld,
+                 2 AS path_depth,
+                 CAST(doc_id AS VARCHAR) || '.html' AS doc_name
+          FROM documents
+        """,
         "fingerprints": _sql_fingerprints(),
         "exact_dups": _sql_exact_dups(),
         "jaccard_brute": _jaccard_pairs_sql(60),
