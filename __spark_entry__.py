@@ -384,6 +384,65 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
+NFC_MOD = 13  # doc_id % 13 == 0 rows get a decomposed-accent suffix
+
+
+def _q_text_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization: the corpus is already composed, so a
+    decomposed suffix ('cafe' + U+0301) is injected into doc_id % 13 == 0
+    rows — the op must compose it; the oracle runs DuckDB's nfc_normalize
+    over the identically-constructed corpus."""
+    from dhtmlparser3_spark.functions.textops import nfc_normalize_col
+
+    docs = _docs(spark, sf_dir)
+    injected = F.when(
+        F.col("doc_id") % NFC_MOD == 0,
+        F.concat(F.col("text"), F.lit(" café denormalized")),
+    ).otherwise(F.col("text"))
+    return docs.withColumn("text", injected).select(
+        "doc_id", nfc_normalize_col("text").alias("value")
+    )
+
+
+def _q_stream_metrics(spark, sf_dir):
+    """Stateful streaming aggregation driver row: pages file-stream →
+    streaming mapInPandas extraction → event-time tumbling 10-min windows
+    per lang (windowed_metrics_stream, complete mode, availableNow) →
+    memory sink.  The oracle recomputes every window closed-form: warc_ts
+    is 2024-01-01 + doc_id seconds and n_chars_out is the length of the
+    expected content_str."""
+    import tempfile
+    import uuid
+
+    from dhtmlparser3_spark.sources.pages import build_pages
+    from dhtmlparser3_spark.streaming.stream_extract import (
+        extract_stream,
+        read_pages_stream,
+        windowed_metrics_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_streamwm_")
+    inp = f"{base}/in"
+    build_pages(spark, sf_dir).repartition(8).write.parquet(inp)
+    wm = windowed_metrics_stream(extract_stream(read_pages_stream(spark, inp)))
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        wm.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("chars_out").cast("bigint").alias("chars_out"),
+    )
+
+
 def _q_rep_filters(spark, sf_dir):
     """Gopher-style repetition quality filters (duplicate-token pct pure
     columnar; top-2/3-gram pct via one map-side Arrow UDF)."""
@@ -681,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "text_normalize": _q_text_normalize,
+        "stream_metrics": _q_stream_metrics,
         "rep_filters": _q_rep_filters,
         "pii_counts": _q_pii_counts,
         "url_features": _q_url_features,
@@ -1014,6 +1075,11 @@ def _sql_host_topk() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dhtmlparser3_spark.sources import pages as pg
+
+    # expected content_str expression (per-template piece-lists) — used by
+    # the stream_metrics oracle to recompute n_chars_out closed-form
+    case_str = pg.case_over_templates_sql(pg.EXPECTED_CONTENT_STR)
     return {
         "extract_content_str": _sql_extract("content_str"),
         "extract_main_text": _sql_extract("main_text"),
@@ -1077,6 +1143,31 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "text_normalize": f"""
+          SELECT doc_id,
+                 nfc_normalize(
+                   CASE WHEN doc_id % {NFC_MOD} = 0
+                        THEN text || ' cafe' || chr(769) || ' denormalized'
+                        ELSE text END
+                 ) AS value
+          FROM documents
+        """,
+        "stream_metrics": f"""
+          WITH v AS (
+            SELECT doc_id, lang,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + doc_id * INTERVAL 1 SECOND AS ts,
+                   length({case_str}) AS n
+            FROM documents
+          )
+          SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+                 time_bucket(INTERVAL '10 minutes', ts)
+                   + INTERVAL '10 minutes' AS win_end,
+                 lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS chars_out
+          FROM v GROUP BY 1, 2, 3
+        """,
         "rep_filters": f"""
           WITH arrs AS (SELECT doc_id, {_toks()} AS arr FROM documents),
           base AS (

@@ -143,6 +143,24 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def nfc_normalize_col(col: str = "text") -> Column:
+    """Unicode NFC normalization — a standard training-data canonicalization
+    pass (dedup/fingerprint keys must not split on composed vs decomposed
+    accents).  Spark SQL has no built-in unicode normalizer, so this is an
+    Arrow-vectorized UDF over ``unicodedata`` (C-implemented, ~0.2µs/char);
+    the DuckDB oracle twin is ``nfc_normalize``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(texts):
+        from unicodedata import normalize
+
+        return texts.map(lambda t: None if t is None else normalize("NFC", t))
+
+    return _nfc(F.col(col))
+
+
 def hash60_col(c: Column) -> Column:
     """Portable 60-bit hash: first 15 hex chars of md5 → bigint.
 
