@@ -224,8 +224,13 @@ def _tag_scan(s: str, i: int, n: int) -> Tuple[tuple, int]:
     params: List[Tuple[str, str]] = []
     non_pair = False
     while p <= end:
-        p = _skip_ws(s, p, end)
-        c = s[p] if p <= end else s[end]
+        # inline the no-whitespace fast path: most attr boundaries have a
+        # single space or none, and the _skip_ws call itself is measurable
+        # at 10^12-doc scale
+        c = s[p]
+        if c == " " or c == "\t" or c == "\n":
+            p = _skip_ws(s, p, end)
+            c = s[p] if p <= end else s[end]
 
         if c == ">":
             p += 1
@@ -234,8 +239,13 @@ def _tag_scan(s: str, i: int, n: int) -> Tuple[tuple, int]:
             raise _Recover(p)  # nested tag start (tokenizer.py:92-93)
 
         key, p = _param_name(s, p, end)
-        p = _skip_ws(s, p, end)
-        c = s[p] if p <= end else s[end]
+        if p <= end:
+            c = s[p]
+            if c == " " or c == "\t" or c == "\n":
+                p = _skip_ws(s, p, end)
+            c = s[p] if p <= end else s[end]
+        else:
+            c = s[end]
 
         if c == "/":
             p += 1
