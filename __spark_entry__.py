@@ -443,6 +443,29 @@ def _q_stream_metrics(spark, sf_dir):
     )
 
 
+def _q_chunk_windows(spark, sf_dir):
+    """Context-window packing: 64-token windows, stride 48 (16-token
+    overlap) — one map-side Arrow UDF + explode, zero shuffles."""
+    from dhtmlparser3_spark.functions.textops import chunk_tokens
+
+    docs = _docs(spark, sf_dir)
+    return chunk_tokens(docs, window=64, stride=48)
+
+
+def _q_train_split(spark, sf_dir):
+    """Deterministic content-hash train/val split, reported as per-(lang,
+    split) counts — stable across engines because the assignment hash is
+    the portable md5-derived hash60."""
+    from dhtmlparser3_spark.functions.textops import split_assignment_col
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", split_assignment_col("text", 90).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _q_rep_filters(spark, sf_dir):
     """Gopher-style repetition quality filters (duplicate-token pct pure
     columnar; top-2/3-gram pct via one map-side Arrow UDF)."""
@@ -740,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "chunk_windows": _q_chunk_windows,
+        "train_split": _q_train_split,
         "text_normalize": _q_text_normalize,
         "stream_metrics": _q_stream_metrics,
         "rep_filters": _q_rep_filters,
@@ -1143,6 +1168,30 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "chunk_windows": f"""
+          WITH arrs AS (SELECT doc_id, {_toks()} AS arr FROM documents),
+          nz AS (SELECT doc_id, arr, len(arr) AS n FROM arrs WHERE len(arr) > 0),
+          ch AS (
+            SELECT doc_id, arr, n,
+                   unnest(generate_series(
+                     0, CASE WHEN n <= 64 THEN 0
+                             ELSE ((n - 64) + 47) // 48 END)) AS chunk_id
+            FROM nz
+          )
+          SELECT doc_id, chunk_id::INT AS chunk_id,
+                 array_to_string(
+                   list_slice(arr, chunk_id * 48 + 1,
+                              LEAST(chunk_id * 48 + 64, n)), ' ') AS chunk_text,
+                 (LEAST(chunk_id * 48 + 64, n) - chunk_id * 48)::INT AS n_tokens
+          FROM ch
+        """,
+        "train_split": f"""
+          SELECT lang,
+                 CASE WHEN ({_HASH60.format(x='text')}) % 100 < 90
+                      THEN 'train' ELSE 'val' END AS split,
+                 count(*) AS n_docs
+          FROM documents GROUP BY 1, 2
+        """,
         "text_normalize": f"""
           SELECT doc_id,
                  nfc_normalize(

@@ -143,6 +143,74 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Context-window packing: split each document into fixed-size token
+    windows with overlap (window - stride) — the sharding step that feeds
+    sequence-length-bounded training.  Chunks start at 0, stride,
+    2·stride, …; the final window is emitted as soon as it covers the
+    tail (possibly short); empty docs produce no chunks.
+
+    Scale shape: per-doc computation in ONE Arrow UDF (same placement as
+    shingling/winnowing), exploded map-side — zero shuffles; the chunk
+    table inherits the input partitioning so a downstream
+    repartition(chunk-hash) is only needed when chunk sizes skew.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    assert 0 < stride <= window
+
+    @pandas_udf(
+        "array<struct<chunk_id:int,chunk_text:string,n_tokens:int>>"
+    )
+    def _chunks(texts):
+        def one(t):
+            toks = token_list(t)
+            if not toks:
+                return []
+            out = []
+            i = 0
+            cid = 0
+            while True:
+                w = toks[i : i + window]
+                out.append(
+                    {"chunk_id": cid, "chunk_text": " ".join(w), "n_tokens": len(w)}
+                )
+                if i + window >= len(toks):
+                    return out
+                i += stride
+                cid += 1
+
+        return texts.map(one)
+
+    return (
+        df.select(F.col(id_col), _chunks(F.col(col)).alias("cs"))
+        .select(id_col, F.explode_outer("cs").alias("c"))
+        .where(F.col("c").isNotNull())
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def split_assignment_col(col: str = "text", train_pct: int = 90) -> Column:
+    """Deterministic content-hash train/val assignment: stable across runs,
+    machines, and engines (md5-derived 60-bit hash mod 100 — identical in
+    the DuckDB oracle), so re-runs and incremental ingests never leak a
+    validation document into train."""
+    return F.when(
+        hash60_col(F.col(col)) % 100 < train_pct, F.lit("train")
+    ).otherwise(F.lit("val"))
+
+
 def nfc_normalize_col(col: str = "text") -> Column:
     """Unicode NFC normalization — a standard training-data canonicalization
     pass (dedup/fingerprint keys must not split on composed vs decomposed
