@@ -443,6 +443,17 @@ def _q_stream_metrics(spark, sf_dir):
     )
 
 
+def _q_main_block(spark, sf_dir):
+    """DOM heuristic: text-density main content-block selection (the
+    readability-core shape).  The oracle recomputes winner + score
+    closed-form per template from length(text) — including the tie/flip
+    cases where a short payload loses to footer boilerplate."""
+    from dhtmlparser3_spark.functions.domheur import main_block
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    return main_block(build_pages(spark, sf_dir))
+
+
 def _q_chunk_windows(spark, sf_dir):
     """Context-window packing: 64-token windows, stride 48 (16-token
     overlap) — one map-side Arrow UDF + explode, zero shuffles."""
@@ -763,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "main_block": _q_main_block,
         "chunk_windows": _q_chunk_windows,
         "train_split": _q_train_split,
         "text_normalize": _q_text_normalize,
@@ -1168,6 +1180,28 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "main_block": """
+          WITH base AS (
+            SELECT printf('https://host%02d.example/%s/%d.html',
+                          (doc_id % 97)::INT, source, doc_id) AS url,
+                   doc_id % 5 AS t, length(text) AS L
+            FROM documents
+          )
+          SELECT url,
+                 CASE t
+                   WHEN 0 THEN 'p'
+                   WHEN 1 THEN CASE WHEN L >= 15 THEN 'p' ELSE 'div' END
+                   WHEN 2 THEN CASE WHEN L >= 4 THEN 'div' ELSE 'p' END
+                   WHEN 3 THEN 'p'
+                   ELSE 'div' END AS block_name,
+                 CAST(CASE t
+                   WHEN 0 THEN L
+                   WHEN 1 THEN GREATEST(L, 15)
+                   WHEN 2 THEN GREATEST(L, 4)
+                   WHEN 3 THEN L + 25
+                   ELSE L END AS INT) AS block_text_len
+          FROM base
+        """,
         "chunk_windows": f"""
           WITH arrs AS (SELECT doc_id, {_toks()} AS arr FROM documents),
           nz AS (SELECT doc_id, arr, len(arr) AS n FROM arrs WHERE len(arr) > 0),
