@@ -443,6 +443,26 @@ def _q_stream_metrics(spark, sf_dir):
     )
 
 
+def _q_blocklist_filter(spark, sf_dir):
+    """Host-blocklist curation: every 10th host is blocked (deterministic
+    demo list), pages are dropped by a broadcast LEFT ANTI join (zero
+    shuffle of the big side); output = surviving per-host doc counts."""
+    from dhtmlparser3_spark.functions.quality_filters import blocklist_anti_join
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    blocked = (
+        spark.range(97)
+        .where(F.col("id") % 10 == 0)
+        .select(
+            F.format_string("host%02d.example", F.col("id").cast("int")).alias(
+                "host"
+            )
+        )
+    )
+    kept = blocklist_anti_join(build_pages(spark, sf_dir), blocked)
+    return kept.groupBy("host").agg(F.count("*").alias("n_docs"))
+
+
 def _q_main_block(spark, sf_dir):
     """DOM heuristic: text-density main content-block selection (the
     readability-core shape).  The oracle recomputes winner + score
@@ -774,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "blocklist_filter": _q_blocklist_filter,
         "main_block": _q_main_block,
         "chunk_windows": _q_chunk_windows,
         "train_split": _q_train_split,
@@ -1180,6 +1201,13 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "blocklist_filter": """
+          SELECT printf('host%02d.example', (doc_id % 97)::INT) AS host,
+                 count(*) AS n_docs
+          FROM documents
+          WHERE (doc_id % 97) % 10 <> 0
+          GROUP BY 1
+        """,
         "main_block": """
           WITH base AS (
             SELECT printf('https://host%02d.example/%s/%d.html',

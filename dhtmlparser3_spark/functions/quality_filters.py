@@ -133,6 +133,20 @@ def with_pii_counts(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def blocklist_anti_join(pages: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Drop pages whose host is on a blocklist — the robots/domain-policy
+    filtering stage.  Scale shape: the blocklist is BROADCAST (policy
+    lists are small against a 10^12-row corpus) and the anti-join runs
+    map-side with zero shuffle of the pages; a truly huge blocklist would
+    instead be bucketed on host alongside the pages table
+    (sources/tables.write_bucketed).  ``blocklist`` must have a ``host``
+    column."""
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+    return pages.withColumn("host", host).join(
+        F.broadcast(blocklist.select("host")), "host", "left_anti"
+    )
+
+
 def url_features(pages: DataFrame) -> DataFrame:
     """Parse the url column into curation features: host, top-level domain,
     path depth, document name.  At 100 TB this is the partitioning /
