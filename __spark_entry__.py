@@ -443,6 +443,49 @@ def _q_stream_metrics(spark, sf_dir):
     )
 
 
+DECON_MOD = 31  # doc_id % 31 == 0 defines the demo benchmark set
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus minus docs sharing any 8-gram
+    with the benchmark subset (every 31st doc) — benchmark members remove
+    themselves plus any doc with verbatim 8-token overlap; reported as
+    surviving per-lang counts with id-range proof."""
+    from dhtmlparser3_spark.functions.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0).select("doc_id", "text")
+    kept = decontaminate(docs.select("doc_id", "text", "lang"), bench, n=8)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _q_host_quota(spark, sf_dir):
+    """Per-host document quota (cap 3 per host, lowest doc_ids win) — the
+    domain-balance sampling stage.  One shuffle on host; at scale a
+    skewed host is handled by AQE or a two-phase count+filter."""
+    from pyspark.sql import Window
+
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+    w = Window.partitionBy("host").orderBy("doc_id")
+    kept = (
+        pages.select(host, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+    return kept.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def _q_blocklist_filter(spark, sf_dir):
     """Host-blocklist curation: every 10th host is blocked (deterministic
     demo list), pages are dropped by a broadcast LEFT ANTI join (zero
@@ -794,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "decontaminate": _q_decontaminate,
+        "host_quota": _q_host_quota,
         "blocklist_filter": _q_blocklist_filter,
         "main_block": _q_main_block,
         "chunk_windows": _q_chunk_windows,
@@ -1201,6 +1246,39 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "decontaminate": f"""
+          WITH tok AS (SELECT doc_id, lang, {_toks()} AS arr FROM documents),
+          bsh AS (
+            SELECT DISTINCT
+                   unnest([array_to_string(list_slice(arr, i, i + 7), ' ')
+                           for i in generate_series(1, len(arr) - 7)]) AS sh
+            FROM tok WHERE doc_id % {DECON_MOD} = 0 AND len(arr) >= 8
+          ),
+          csh AS (
+            SELECT DISTINCT doc_id,
+                   unnest([array_to_string(list_slice(arr, i, i + 7), ' ')
+                           for i in generate_series(1, len(arr) - 7)]) AS sh
+            FROM tok WHERE len(arr) >= 8
+          ),
+          bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+          SELECT lang, count(*) AS n_docs,
+                 min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+          FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          GROUP BY 1
+        """,
+        "host_quota": """
+          WITH r AS (
+            SELECT doc_id,
+                   printf('host%02d.example', (doc_id % 97)::INT) AS host,
+                   row_number() OVER (PARTITION BY doc_id % 97
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+          )
+          SELECT host, count(*) AS n_docs,
+                 min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+          FROM r WHERE rn <= 3 GROUP BY 1
+        """,
         "blocklist_filter": """
           SELECT printf('host%02d.example', (doc_id % 97)::INT) AS host,
                  count(*) AS n_docs

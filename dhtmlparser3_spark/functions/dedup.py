@@ -193,6 +193,40 @@ def jaccard_pairs(
     return _pair_jaccard(sh).where(F.col("jacc_pct") >= tau_pct)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document that shares
+    ANY n-token shingle with the benchmark set (the standard eval-leakage
+    guard for pretraining corpora).
+
+    Scale shape: benchmark shingles are tiny against the corpus →
+    broadcast; the corpus side is shingled MAP-SIDE (shingle_arrays) and
+    probed with a broadcast LEFT SEMI join, so no corpus shingle ever
+    shuffles; only the small contaminated-id set reaches an exchange
+    before the final anti-join.  At 10^12 docs you additionally hash the
+    shingles to 8-byte keys (string equality here keeps the DuckDB oracle
+    byte-exact).
+    """
+    bsh = (
+        shingle_arrays(benchmark, n, id_col)
+        .select(F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    csh = shingle_arrays(corpus, n, id_col).select(
+        F.col("doc_id"), F.explode("shs").alias("sh")
+    )
+    contaminated = (
+        csh.join(F.broadcast(bsh), "sh", "left_semi").select("doc_id").distinct()
+    )
+    return corpus.join(
+        contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 # --- MinHash + LSH ------------------------------------------------------------
 
 _P31 = 2147483647  # 2^31-1, Mersenne prime
