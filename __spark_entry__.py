@@ -540,6 +540,44 @@ def _q_train_split(spark, sf_dir):
     )
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup across micro-batches: pages ∪ injected exact
+    copies (url-suffixed) file-streamed in ≥2 batches through stateful
+    dropDuplicates(md5) → parquet sink.  Output = one row of unique/input
+    counts (count-only on purpose: which duplicate row survives is an
+    arrival-order artifact, the COUNTS are exact); oracle = DuckDB
+    count(DISTINCT md5) over the identically-constructed corpus."""
+    import tempfile
+
+    from dhtmlparser3_spark.sources.pages import build_pages
+    from dhtmlparser3_spark.streaming.stream_extract import (
+        dedup_stream,
+        read_pages_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_streamdd_")
+    inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    pages = build_pages(spark, sf_dir)
+    dups = pages.where(F.col("doc_id") % 11 == 0).withColumn(
+        "url", F.concat("url", F.lit("?dup"))
+    )
+    n_input = pages.unionByName(dups)
+    n_input.repartition(8).write.parquet(inp)
+    q = (
+        dedup_stream(read_pages_stream(spark, inp))
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.agg(
+        F.count("*").alias("n_unique"),
+    ).select(F.col("n_unique").cast("bigint").alias("n_unique"))
+
+
 def _q_rep_filters(spark, sf_dir):
     """Gopher-style repetition quality filters (duplicate-token pct pure
     columnar; top-2/3-gram pct via one map-side Arrow UDF)."""
@@ -837,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "stream_dedup": _q_stream_dedup,
         "decontaminate": _q_decontaminate,
         "host_quota": _q_host_quota,
         "blocklist_filter": _q_blocklist_filter,
@@ -1246,6 +1285,15 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "stream_dedup": """
+          WITH corpus AS (
+            SELECT text FROM documents
+            UNION ALL
+            SELECT text FROM documents WHERE doc_id % 11 = 0
+          )
+          SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+          FROM corpus
+        """,
         "decontaminate": f"""
           WITH tok AS (SELECT doc_id, lang, {_toks()} AS arr FROM documents),
           bsh AS (

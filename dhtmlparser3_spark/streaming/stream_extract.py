@@ -66,6 +66,20 @@ def start_foreach_batch(
     )
 
 
+def dedup_stream(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content
+    digest across micro-batches (engine-managed dedup state).  The
+    event-time watermark bounds state at ingest scale — a duplicate (or
+    straggler row) arriving later than the watermark is dropped, the
+    standard state/recall trade; size it to the ingest's event-time
+    spread."""
+    return (
+        pages_stream.withColumn("text_md5", F.md5(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicates(["text_md5"])
+    )
+
+
 def windowed_metrics_stream(extracted: DataFrame) -> DataFrame:
     """Stateful side: event-time tumbling doc counts with a 1h watermark
     (late rows beyond it are dropped from the aggregate)."""
