@@ -540,6 +540,20 @@ def _q_train_split(spark, sf_dir):
     )
 
 
+def _q_source_mix(spark, sf_dir):
+    """Training-mixture report: per (source, lang) document and token
+    mass — the numbers a data-mixing recipe is built from.  Pure
+    map-side-partial aggregation, one shuffle on the tiny group key."""
+    from dhtmlparser3_spark.functions.textops import token_count_col
+
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col("text")).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup across micro-batches: pages ∪ injected exact
     copies (url-suffixed) file-streamed in ≥2 batches through stateful
@@ -875,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "source_mix": _q_source_mix,
         "stream_dedup": _q_stream_dedup,
         "decontaminate": _q_decontaminate,
         "host_quota": _q_host_quota,
@@ -1285,6 +1300,12 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "source_mix": f"""
+          SELECT source, lang, count(*) AS n_docs,
+                 CAST(sum(len({_toks()})) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS n_chars
+          FROM documents GROUP BY 1, 2
+        """,
         "stream_dedup": """
           WITH corpus AS (
             SELECT text FROM documents
