@@ -155,7 +155,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    n_tables: int = 8,
+    n_tables: int = 24,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — the SHIPPED operator: LSH-bucketed
     candidate generation + exact-cosine verification.
@@ -167,14 +167,15 @@ def embedding_dup_pairs(
     cosine (bit-identical arithmetic to the brute baseline).  Never
     materializes the O(n²) pair space the brute form joins through.
 
-    Recall (defaults m=8 bits, L=8 tables; miss = (1-p^m)^L where
-    p = 1-θ/π): near-identical vectors — the dup-detection operating point
-    — are essentially never missed (cos 0.99 ⇒ p≈0.955, miss ≈ 3e-5; the
-    constructed dups here sit at cos≈0.997, miss ≈ 1e-6); a borderline
-    τ=0.9 pair (p≈0.857) misses w.p. ≈ 0.06 — lower ``n_planes`` if the
-    workload has mass at the threshold.  The driver's DuckDB oracle IS the
-    brute result, so any miss turns the correctness row red — recall is
-    continuously audited, not assumed.
+    Recall (defaults m=8 bits, L=24 tables; miss = (1-p^m)^L where
+    p = 1-θ/π): the constructed dup corpus spans cos 0.944-0.997 — at the
+    observed minimum (p≈0.894) a pair misses w.p. ≈ 4e-6, at a borderline
+    τ=0.9 pair (p≈0.857) ≈ 3e-4.  L=24 (not 8) was tuned against the
+    sf0.1 tier, where the 8-table config deterministically missed 2 of
+    223 pairs at cos≈0.95 — near-dup LSH recall is probabilistic at the
+    threshold boundary, so the table count must carry the margin.  The
+    driver's DuckDB oracle IS the brute result, so any miss turns the
+    correctness row red — recall is continuously audited, not assumed.
     """
     corpus = embedding_dup_corpus(emb, id_col, vec_col)
     dim = len(emb.select(vec_col).first()[0])
