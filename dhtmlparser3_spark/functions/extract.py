@@ -438,15 +438,22 @@ def udf_content_without_tags():
 
 def udf_nodes(fields=None):
     """html → flattened node array (relational tier input); ``fields``
-    prunes the node struct (manual pushdown through the UDF boundary)."""
+    prunes the node struct (manual pushdown through the UDF boundary).
+    Unparseable documents (reference-parity parse errors, e.g. an
+    out-of-range numeric entity) yield NULL — the error-row policy of
+    every UDF here: one poison page must never fail a task."""
     from pyspark.sql.functions import pandas_udf
 
     flds = tuple(fields) if fields else None
 
+    def one(h):
+        try:
+            return flatten_nodes(parse_arena(decode_html(h)), flds)
+        except Exception:  # noqa: BLE001
+            return None
+
     @pandas_udf(node_schema(flds))
     def _nodes(html: pd.Series) -> pd.Series:
-        return html.map(
-            lambda h: flatten_nodes(parse_arena(decode_html(h)), flds)
-        )
+        return html.map(one)
 
     return _nodes
