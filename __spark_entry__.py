@@ -540,6 +540,43 @@ def _q_train_split(spark, sf_dir):
     )
 
 
+def _q_sketch_stats(spark, sf_dir):
+    """Sketch telemetry (the only affordable full-corpus statistics at
+    10^12 rows): HyperLogLog++ distinct-host estimate and approximate
+    token-count median, each emitted WITH an exact-side accuracy check
+    computed in the same job.  Sketch values are engine-specific, so the
+    driver-hashable outputs are the exact values plus integer
+    within-bound flags; the oracle recomputes the exact sides and pins
+    the flags at 1 — accuracy is asserted, not assumed."""
+    from dhtmlparser3_spark.functions.textops import token_count_col
+
+    docs = _docs(spark, sf_dir)
+    host = (F.col("doc_id") % 97).alias("host_id")
+    base = docs.select(host, token_count_col("text").alias("n_tok"))
+    agg = base.agg(
+        F.countDistinct("host_id").alias("hosts_exact"),
+        F.approx_count_distinct("host_id", 0.02).alias("hosts_hll"),
+        F.expr("percentile(n_tok, 0.5)").alias("p50_exact"),
+        F.expr("percentile_approx(n_tok, 0.5, 1000)").alias("p50_approx"),
+    )
+    return agg.select(
+        F.col("hosts_exact").cast("bigint").alias("hosts_exact"),
+        (
+            F.abs(F.col("hosts_hll") - F.col("hosts_exact"))
+            <= 0.05 * F.col("hosts_exact")
+        )
+        .cast("int")
+        .alias("hll_within_5pct"),
+        F.floor("p50_exact").cast("bigint").alias("p50_tokens_floor"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= 0.10 * F.col("p50_exact")
+        )
+        .cast("int")
+        .alias("p50_within_10pct"),
+    )
+
+
 def _q_source_mix(spark, sf_dir):
     """Training-mixture report: per (source, lang) document and token
     mass — the numbers a data-mixing recipe is built from.  Pure
@@ -889,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "sketch_stats": _q_sketch_stats,
         "source_mix": _q_source_mix,
         "stream_dedup": _q_stream_dedup,
         "decontaminate": _q_decontaminate,
@@ -1300,6 +1338,14 @@ def oracle_sql() -> dict[str, str]:
             f"n_alpha, quality FROM ({_sql_quality()})"
         ),
         "lang_id": _sql_lang_id(),
+        "sketch_stats": f"""
+          SELECT CAST(count(DISTINCT doc_id % 97) AS BIGINT) AS hosts_exact,
+                 1 AS hll_within_5pct,
+                 CAST(FLOOR(median(len({_toks()}))) AS BIGINT)
+                   AS p50_tokens_floor,
+                 1 AS p50_within_10pct
+          FROM documents
+        """,
         "source_mix": f"""
           SELECT source, lang, count(*) AS n_docs,
                  CAST(sum(len({_toks()})) AS BIGINT) AS n_tokens,
