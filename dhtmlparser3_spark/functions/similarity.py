@@ -336,30 +336,72 @@ def _bucket_udf(planes, n_planes: int, n_tables: int):
     return _buckets
 
 
+def _probe_udf(planes, n_planes: int, n_tables: int, n_flip: int):
+    """pandas_udf: embedding → array of (table, bucket) probe keys — the
+    exact code per table plus, when ``n_flip >= 1``, every code at Hamming
+    distance 1 (multiprobe).  Used on the QUERY side only: probing 1+m
+    buckets per table multiplies query lookups, not corpus state."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = [list(r) for r in planes]
+
+    @pandas_udf("array<struct<t:int,b:int>>")
+    def _probes(vecs):
+        import pandas as pd
+
+        mat = np.array(P, dtype=np.float64).T
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ mat) > 0
+        pw = 1 << np.arange(n_planes)
+        out = []
+        for row in bits:
+            keys = []
+            for t in range(n_tables):
+                code = int((row[t * n_planes : (t + 1) * n_planes] * pw).sum())
+                keys.append({"t": t, "b": code})
+                if n_flip >= 1:
+                    for j in range(n_planes):
+                        keys.append({"t": t, "b": code ^ (1 << j)})
+            out.append(keys)
+        return pd.Series(out)
+
+    return _probes
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     k: int = 5,
     query_mod: int = 50,
     n_planes: int = 4,
     n_tables: int = 8,
+    multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: multi-table random-hyperplane LSH.
+    """Approximate top-k: multi-table random-hyperplane LSH with flip-1
+    multiprobe on the query side.
 
-    L independent tables of m sign-bits each.  A pair is a candidate if it
-    collides in ANY table: recall 1-(1-p^m)^L where p = 1-θ/π.  With the
-    defaults (m=4, L=8) a true neighbor at cos≈0.35 (p≈0.61) is found w.p.
-    ≈0.70 — tune m up for clustered real-world embeddings (higher p).
+    L independent tables of m sign-bits each; a pair is a candidate if the
+    query's probe set (its code + all Hamming-1 codes when multiprobe=1)
+    hits the corpus vector's code in ANY table.  Per-table hit prob rises
+    from p^m to p^m + m·p^(m-1)(1-p) (p = 1-θ/π): a true neighbor at
+    cos≈0.35 (p≈0.61) is found w.p. ≈0.995 with the defaults vs ≈0.70
+    unprobed — measured recall@5 on the test corpus ≈0.99 (pinned ≥0.9 in
+    pytest, ≥60% in the driver's ann_recall oracle).
 
     Scale shape: the corpus is scanned ONCE computing all L bucket keys in
-    a single numpy matmul inside an Arrow batch (see _bucket_udf), then
-    exploded to (table, bucket) — candidates are co-partitioned by bucket
-    so the join is local; only the query side is broadcast.
+    a single numpy matmul inside an Arrow batch (see _bucket_udf) —
+    multiprobe multiplies only the tiny broadcast query side (1+m keys per
+    table), never corpus state; candidates are co-partitioned by bucket so
+    the join is local.
     """
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes * n_tables, dim)
     buckets = _bucket_udf(planes, n_planes, n_tables)
+    probes = _probe_udf(planes, n_planes, n_tables, multiprobe)
 
     base = emb.select(
         F.col(id_col).alias("nid"),
@@ -369,7 +411,9 @@ def lsh_ann_topk(
     queries = emb.where(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("q"),
-        F.posexplode(buckets(F.col(vec_col))).alias("t", "b"),
+        F.explode(probes(F.col(vec_col))).alias("tb"),
+    ).select(
+        "qid", "q", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
     )
 
     cand = base.join(F.broadcast(queries), ["t", "b"]).where(

@@ -95,8 +95,8 @@ def test_tag_matrix_matches_reference(ref):
 
 @pytest.mark.spark
 def test_ann_recall_floor(spark):
-    """LSH ANN must find ≥60% of true top-5 neighbors at sf0.01 (multiprobe
-    12-plane config)."""
+    """LSH ANN must find ≥90% of true top-5 neighbors at sf0.01 (flip-1
+    multiprobe on the query side; measured 0.98-1.0 across tiers)."""
     from dhtmlparser3_spark.functions.similarity import cosine_topk, lsh_ann_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -105,7 +105,7 @@ def test_ann_recall_floor(spark):
     t = set(zip(truth.query_id, truth.neighbor_id))
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(t & a) / len(t)
-    assert recall >= 0.6, f"ANN recall {recall:.2f}"
+    assert recall >= 0.9, f"ANN recall {recall:.2f}"
 
 
 @pytest.mark.spark
