@@ -115,9 +115,14 @@ def shingle_arrays(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFra
 
 def shingle_sets(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) DISTINCT rows — the exploded form (brute-force
-    Jaccard joins on it; everything else uses shingle_arrays)."""
-    return shingle_arrays(df, n, id_col).select(
-        "doc_id", F.explode("shs").alias("sh")
+    Jaccard joins on it; everything else uses shingle_arrays).
+    explode_outer + post-filter everywhere a UDF feeds explode: a plain
+    explode makes Catalyst infer a size() filter BELOW the Generate and
+    evaluate the shingle UDF twice (PLANS.md §6b)."""
+    return (
+        shingle_arrays(df, n, id_col)
+        .select("doc_id", F.explode_outer("shs").alias("sh"))
+        .where(F.col("sh").isNotNull())
     )
 
 
@@ -189,7 +194,11 @@ def jaccard_pairs(
     """Brute n-gram-Jaccard near-dup pairs (the small-scale baseline and
     the verifier for LSH); exact up to 64-bit hash collisions, see
     :func:`_pair_jaccard`."""
-    sh = shingle_sets(df, n, id_col)
+    # persist: the shingle table is referenced 4x in the self-join plan
+    # (sizes, hashed a, hashed b) and Spark re-evaluates an unpersisted
+    # subplan per reference — at 10^12 docs the shingle pass is the whole
+    # cost, so it is computed ONCE (production: write it to storage)
+    sh = shingle_sets(df, n, id_col).persist()
     return _pair_jaccard(sh).where(F.col("jacc_pct") >= tau_pct)
 
 
@@ -213,11 +222,14 @@ def decontaminate(
     """
     bsh = (
         shingle_arrays(benchmark, n, id_col)
-        .select(F.explode("shs").alias("sh"))
+        .select(F.explode_outer("shs").alias("sh"))
+        .where(F.col("sh").isNotNull())
         .distinct()
     )
-    csh = shingle_arrays(corpus, n, id_col).select(
-        F.col("doc_id"), F.explode("shs").alias("sh")
+    csh = (
+        shingle_arrays(corpus, n, id_col)
+        .select(F.col("doc_id"), F.explode_outer("shs").alias("sh"))
+        .where(F.col("sh").isNotNull())
     )
     contaminated = (
         csh.join(F.broadcast(bsh), "sh", "left_semi").select("doc_id").distinct()
@@ -272,8 +284,14 @@ def minhash_lsh_pairs(
     6e-7 — the verified output equals brute force in expectation, which is
     what the DuckDB oracle asserts.
     """
-    arrays = shingle_arrays(df, n, id_col)
-    sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
+    # persist: the per-doc shingle arrays feed the signature pipeline AND
+    # both sides of the verification join — unpersisted, Spark re-runs the
+    # shingle UDF once per plan reference (measured 9 ArrowEvalPython nodes
+    # in the unpersisted plan vs 1 evaluation persisted)
+    arrays = shingle_arrays(df, n, id_col).persist()
+    sh = arrays.select(
+        "doc_id", F.explode_outer("shs").alias("sh")
+    ).where(F.col("sh").isNotNull())
     sig = minhash_signatures(sh, num_perm)
     n_bands = num_perm // rows_per_band
     band_rows = []

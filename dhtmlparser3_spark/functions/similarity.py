@@ -182,8 +182,9 @@ def embedding_dup_pairs(
     planes = _hyperplanes(n_planes * n_tables, dim)
     buckets = _bucket_udf(planes, n_planes, n_tables)
     banded = corpus.select(
-        "vec_id", F.posexplode(buckets(F.col("embedding"))).alias("t", "b")
-    )
+        "vec_id",
+        F.posexplode_outer(buckets(F.col("embedding"))).alias("t", "b"),
+    ).where(F.col("b").isNotNull())
     grouped = (
         banded.groupBy("t", "b")
         .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
@@ -264,8 +265,8 @@ def ivf_ann_topk(
     queries = emb.where(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("q"),
-        F.explode(_cell_udf(n_probe)(F.col(vec_col))).alias("cell"),
-    )
+        F.explode_outer(_cell_udf(n_probe)(F.col(vec_col))).alias("cell"),
+    ).where(F.col("cell").isNotNull())
     cand = base.join(F.broadcast(queries), "cell").where(
         F.col("qid") != F.col("nid")
     )
@@ -406,13 +407,13 @@ def lsh_ann_topk(
     base = emb.select(
         F.col(id_col).alias("nid"),
         _as_double(F.col(vec_col)).alias("v"),
-        F.posexplode(buckets(F.col(vec_col))).alias("t", "b"),
-    )
+        F.posexplode_outer(buckets(F.col(vec_col))).alias("t", "b"),
+    ).where(F.col("b").isNotNull())
     queries = emb.where(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("q"),
-        F.explode(probes(F.col(vec_col))).alias("tb"),
-    ).select(
+        F.explode_outer(probes(F.col(vec_col))).alias("tb"),
+    ).where(F.col("tb").isNotNull()).select(
         "qid", "q", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
     )
 
