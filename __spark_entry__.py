@@ -695,6 +695,18 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive clusters via alternating large-star /
+    small-star connected components (functions/graph.py), with the
+    keep-one-per-cluster canonical flag.  Oracle: recursive-CTE transitive
+    closure over the identical pair list."""
+    from dhtmlparser3_spark.functions.dedup import dedup_corpus, minhash_lsh_pairs
+    from dhtmlparser3_spark.functions.graph import dedup_clusters
+
+    pairs = minhash_lsh_pairs(dedup_corpus(spark, sf_dir), n=3, tau_pct=60)
+    return dedup_clusters(pairs)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from dhtmlparser3_spark.functions.similarity import cosine_topk
 
@@ -945,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_brute": _q_jaccard_brute,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
@@ -1525,6 +1538,22 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_brute": _jaccard_pairs_sql(60),
         "minhash_lsh": _jaccard_pairs_sql(60),  # LSH+verify == brute (see dedup.py)
         "simhash": _sql_simhash(),
+        "dedup_clusters": f"""
+          WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(60)}),
+          edges AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION
+            SELECT b_id AS u, a_id AS v FROM pairs
+          ),
+          reach(u, c) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+            UNION
+            SELECT e.v, r.c FROM reach r JOIN edges e ON e.u = r.u
+          )
+          SELECT u AS doc_id, min(c) AS cluster_id,
+                 CAST(min(c) = u AS INT) AS keep
+          FROM reach GROUP BY u
+        """,
         "cosine_topk": _sql_cosine_topk(),
         # ann_lsh / ann_ivf: intentionally rows-only (approximate result
         # sets); their recall floor is a GREEN oracled row via ann_recall
