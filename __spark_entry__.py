@@ -695,6 +695,20 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing (functions/packing.py):
+    global token offsets via a two-level distributed prefix sum (parallel
+    per-bucket windows + broadcast bucket offsets — NO single-partition
+    window over the corpus), then per-sequence roll-up.  Oracle: the same
+    packing as one flat window cumsum in DuckDB."""
+    from dhtmlparser3_spark.functions.packing import pack_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return pack_summary(docs, seq_len=128)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → transitive clusters via alternating large-star /
     small-star connected components (functions/graph.py), with the
@@ -958,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "pack_sequences": _q_pack_sequences,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
@@ -1538,6 +1553,32 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_brute": _jaccard_pairs_sql(60),
         "minhash_lsh": _jaccard_pairs_sql(60),  # LSH+verify == brute (see dedup.py)
         "simhash": _sql_simhash(),
+        # flat single-window cumsum formulation of the hierarchical
+        # prefix-sum packing (functions/packing.py) — identical semantics
+        "pack_sequences": f"""
+          WITH d AS (
+            SELECT doc_id, CAST(len({_toks()}) AS BIGINT) AS n_tok FROM documents
+            WHERE len({_toks()}) > 0
+          ),
+          c AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+            FROM d
+          ),
+          ex AS (
+            SELECT doc_id, n_tok, off,
+                   unnest(generate_series(CAST(off // 128 AS BIGINT),
+                                          CAST((off + n_tok - 1) // 128 AS BIGINT))) AS pack_id
+            FROM c
+          )
+          SELECT pack_id,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(LEAST((pack_id + 1) * 128, off + n_tok)
+                        - GREATEST(pack_id * 128, off)) AS BIGINT) AS n_tokens,
+                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM ex GROUP BY pack_id
+        """,
         "dedup_clusters": f"""
           WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(60)}),
           edges AS (
