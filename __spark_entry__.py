@@ -695,6 +695,18 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
 
 
+def _q_top_terms(spark, sf_dir):
+    """Per-source top-10 vocabulary terms after data-driven stopword
+    removal (doc frequency > 50%) — textops.top_terms; pure JVM word-count
+    shape with broadcast stopword anti-join and WindowGroupLimit top-k."""
+    from dhtmlparser3_spark.functions.textops import top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    return top_terms(docs, k=10, stop_df_pct=50)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk training-sequence packing (functions/packing.py):
     global token offsets via a two-level distributed prefix sum (parallel
@@ -973,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
+        "top_terms": _q_top_terms,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
@@ -1553,6 +1566,28 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_brute": _jaccard_pairs_sql(60),
         "minhash_lsh": _jaccard_pairs_sql(60),  # LSH+verify == brute (see dedup.py)
         "simhash": _sql_simhash(),
+        "top_terms": f"""
+          WITH toks AS (
+            SELECT source, unnest({_toks()}) AS term FROM documents
+          ),
+          per_doc AS (
+            SELECT DISTINCT doc_id, unnest({_toks()}) AS term FROM documents
+          ),
+          stop AS (
+            SELECT term FROM per_doc GROUP BY term
+            HAVING count(*) * 100 > (SELECT count(*) FROM documents) * 50
+          ),
+          counts AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+            WHERE term NOT IN (SELECT term FROM stop)
+            GROUP BY source, term
+          )
+          SELECT source, term, cnt, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY source ORDER BY cnt DESC, term ASC) AS rk
+            FROM counts
+          ) WHERE rk <= 10
+        """,
         # flat single-window cumsum formulation of the hierarchical
         # prefix-sum packing (functions/packing.py) — identical semantics
         "pack_sequences": f"""

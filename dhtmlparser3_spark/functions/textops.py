@@ -293,3 +293,54 @@ def fingerprints(
         .select(id_col, F.explode_outer("fps").alias("fingerprint"))
         .where(F.col("fingerprint").isNotNull())
     )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 10,
+    stop_df_pct: int = 50,
+    group_col: str = "source",
+    col: str = "text",
+) -> DataFrame:
+    """Per-``group_col`` top-``k`` vocabulary terms by occurrence count,
+    after dropping corpus-wide stopwords (terms appearing in more than
+    ``stop_df_pct``% of documents) — the data-driven vocab/stopword pass a
+    corpus report runs before tokenizer training.
+
+    Scale shape: classic word-count — the token explode is map-side
+    (Generate, no shuffle); both aggregates shuffle POST-partial-agg rows
+    bounded by per-partition vocabulary, not token count.  The stopword
+    list (vocab above 50% doc frequency is tiny by Zipf) and the 1-row
+    corpus count are broadcast; final ranking is a per-group top-k window
+    with rank pushdown (WindowGroupLimit).  Ties break on term asc for
+    cross-engine determinism.
+    """
+    toks = docs.select(
+        F.col(group_col), F.explode(tokens_col(col)).alias("term")
+    )
+    per_doc = docs.select(
+        F.explode(F.array_distinct(tokens_col(col))).alias("term")
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    stop = (
+        per_doc.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * 100 > F.col("n_docs") * F.lit(stop_df_pct))
+        .select("term")
+    )
+    counts = (
+        toks.join(F.broadcast(stop), "term", "left_anti")
+        .groupBy(group_col, "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(group_col, "term", "cnt", "rk")
+    )
