@@ -90,6 +90,30 @@ def _shingles_sql(n: int = 3) -> str:
     )"""
 
 
+def _sql_outlinks() -> str:
+    from dhtmlparser3_spark.sources.links import links_oracle_sql
+
+    return f"SELECT * FROM {links_oracle_sql()}"
+
+
+def _sql_host_graph() -> str:
+    from dhtmlparser3_spark.sources.links import links_oracle_sql
+
+    h = "regexp_extract({}, 'https://([^/]+)/', 1)"
+    return f"""
+      SELECT {h.format('url')} AS src, {h.format('href')} AS dst,
+             CAST(count(*) AS BIGINT) AS n_links
+      FROM {links_oracle_sql()} GROUP BY 1, 2
+    """
+
+
+def _sql_host_pagerank() -> str:
+    from dhtmlparser3_spark.functions.links import pagerank_oracle_sql
+    from dhtmlparser3_spark.sources.links import links_oracle_sql
+
+    return pagerank_oracle_sql(links_oracle_sql())
+
+
 def _jaccard_pairs_sql(tau_pct: int = 60) -> str:
     return f"""
       WITH sh AS (SELECT * FROM {_shingles_sql()}),
@@ -695,6 +719,40 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
 
 
+def _q_outlinks(spark, sf_dir):
+    """<a href> extraction over deterministic link-bearing pages
+    (sources/links.py): ONE pandas-UDF parse to the node table, then pure
+    Catalyst — a-tag filter, attrs href lookup, parent/child anchor-text
+    join.  Oracle: the closed-form link formula the pages were built from,
+    so the parse is verified end-to-end."""
+    from dhtmlparser3_spark.functions.links import outlinks
+    from dhtmlparser3_spark.sources.links import build_link_pages
+
+    return outlinks(build_link_pages(spark, sf_dir))
+
+
+def _q_host_graph(spark, sf_dir):
+    """Host-level link graph (src, dst, n_links) from extracted outlinks."""
+    from dhtmlparser3_spark.functions.links import host_edges, outlinks
+    from dhtmlparser3_spark.sources.links import build_link_pages
+
+    return host_edges(outlinks(build_link_pages(spark, sf_dir)))
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Fixed-iteration integer PageRank over the extracted host graph —
+    the iterative-algorithm representative; bit-exact vs the oracle's
+    unrolled-CTE recurrence (functions/links.py docstring)."""
+    from dhtmlparser3_spark.functions.links import (
+        host_edges,
+        outlinks,
+        pagerank,
+    )
+    from dhtmlparser3_spark.sources.links import build_link_pages
+
+    return pagerank(host_edges(outlinks(build_link_pages(spark, sf_dir))))
+
+
 def _q_top_terms(spark, sf_dir):
     """Per-source top-10 vocabulary terms after data-driven stopword
     removal (doc frequency > 50%) — textops.top_terms; pure JVM word-count
@@ -986,6 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
         "top_terms": _q_top_terms,
+        "outlinks": _q_outlinks,
+        "host_graph": _q_host_graph,
+        "host_pagerank": _q_host_pagerank,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
@@ -1566,6 +1627,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_brute": _jaccard_pairs_sql(60),
         "minhash_lsh": _jaccard_pairs_sql(60),  # LSH+verify == brute (see dedup.py)
         "simhash": _sql_simhash(),
+        "outlinks": _sql_outlinks(),
+        "host_graph": _sql_host_graph(),
+        "host_pagerank": _sql_host_pagerank(),
         "top_terms": f"""
           WITH toks AS (
             SELECT source, unnest({_toks()}) AS term FROM documents

@@ -1,0 +1,174 @@
+"""Web-graph operators: link extraction, host graph, PageRank.
+
+``outlinks`` recovers <a href> edges RELATIONALLY — one pandas-UDF parse
+produces the node table (operators/nodes.py), then anchors and their text
+children are pure Catalyst: a filter for ``a`` tags, an attrs lookup for
+``href``, and a parent/child join for the anchor text.  No second Python
+pass, no per-link UDF.
+
+``pagerank`` is the iterative-algorithm representative: fixed-iteration,
+damping 85/100, computed in INTEGER arithmetic (rank scaled by 10^12 with
+explicit integer division at every step) so Spark and the DuckDB oracle —
+which unrolls the same K iterations as chained CTEs — agree bit-for-bit;
+float PageRank would differ in the last ulp from summation order and break
+value-hash comparison.  Per-iteration shape: edges ⋈ ranks (broadcast —
+the HOST graph is small even at CC scale, ~10^8 hosts vs 10^12 pages) →
+map-side partial agg on dst.  For rank-over-PAGES instead of hosts, swap
+the broadcast join for a shuffle join on a bucketed rank table and
+checkpoint every few rounds (functions/graph.py shows the loop hygiene).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dhtmlparser3_spark.operators.nodes import (
+    KIND_TAG,
+    KIND_TEXT,
+    match_predicate,
+    node_table,
+)
+
+HOST_RE = r"https://([^/]+)/"
+PR_SCALE = 10**12
+
+
+def outlinks(pages: DataFrame) -> DataFrame:
+    """(url, href, anchor) per <a href=…> tag, document order per page.
+
+    The node table is projected to the two node kinds the query touches
+    and PERSISTED before the a-tag/text self-join: Spark re-evaluates an
+    unpersisted subplan once per plan reference, and this plan references
+    the UDF output twice (PLANS.md §6b — at production scale, materialize
+    the node table to storage once and run every DOM query against it).
+    """
+    nt = (
+        node_table(
+            pages,
+            fields=["node_id", "parent_id", "kind", "name", "attrs", "text"],
+        )
+        .where(F.col("kind").isin(KIND_TAG, KIND_TEXT))
+        .persist()
+    )
+    # F.get, not [0]: ANSI mode raises on index-into-empty-array, and
+    # Catalyst may evaluate this projection on rows the a-tag predicate
+    # will reject (filter/project fusion does not short-circuit)
+    href = F.get(
+        F.filter(F.col("attrs"), lambda a: F.lower(a["key"]) == "href"), 0
+    )["value"]
+    a_tags = nt.where(match_predicate("a")).select(
+        "url", F.col("node_id").alias("a_id"), href.alias("href")
+    ).where(F.col("href").isNotNull())
+    texts = nt.where(F.col("kind") == KIND_TEXT).select(
+        "url",
+        F.col("parent_id").alias("a_id"),
+        F.col("node_id"),
+        "text",
+    )
+    anchor = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("node_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "",
+    )
+    return (
+        a_tags.join(texts, ["url", "a_id"], "left")
+        .groupBy("url", "a_id", "href")
+        .agg(F.coalesce(anchor, F.lit("")).alias("anchor"))
+        .drop("a_id")
+    )
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """(src, dst, n_links) host-level graph from (url, href) pairs."""
+    return (
+        links.select(
+            F.regexp_extract("url", HOST_RE, 1).alias("src"),
+            F.regexp_extract("href", HOST_RE, 1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 5, damp_pct: int = 85) -> DataFrame:
+    """(host, rank) after ``iters`` synchronized iterations; ``rank`` sums
+    to ≈ PR_SCALE.  Dangling mass is dropped (hosts with no outlinks
+    contribute nothing), matching the oracle's unrolled CTEs exactly.
+
+    Integer recurrence (exact in both engines):
+      base        = PR_SCALE div n_hosts
+      per_link(u) = rank(u) div outdeg_links(u)
+      rank'(v)    = ((100-damp) * base + damp * Σ per_link(u)·n_e) div 100
+    """
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n_hosts = nodes.count()  # bounded driver scalar (host-level graph)
+    base = PR_SCALE // n_hosts
+    deg = edges.groupBy("src").agg(F.sum("n_links").alias("outdeg"))
+    ranks = nodes.select("host", F.lit(base).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("host", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("host"),
+                (
+                    F.expr("rank div outdeg") * F.col("n_links")
+                ).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # `div`, not `/`: float division + cast can truncate one ulp off
+        # the exact integer quotient and break bit-parity with the oracle
+        ranks = nodes.join(contrib, "host", "left").select(
+            "host",
+            F.expr(
+                f"(CAST({(100 - damp_pct) * base} AS BIGINT)"
+                f" + {damp_pct} * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    links_sql: str, iters: int = 5, damp_pct: int = 85
+) -> str:
+    """The same integer recurrence unrolled as chained CTEs over the
+    closed-form link set."""
+    host = lambda c: f"regexp_extract({c}, 'https://([^/]+)/', 1)"
+    ctes = [
+        f"links AS (SELECT * FROM {links_sql})",
+        f"""edges AS (
+          SELECT {host('url')} AS src, {host('href')} AS dst,
+                 CAST(count(*) AS BIGINT) AS n_links
+          FROM links GROUP BY 1, 2
+        )""",
+        """nodes AS (
+          SELECT src AS host FROM edges UNION SELECT dst FROM edges
+        )""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"base AS (SELECT CAST({PR_SCALE} // n AS BIGINT) AS b FROM nn)",
+        "deg AS (SELECT src, SUM(n_links) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT host, (SELECT b FROM base) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""r{i + 1} AS (
+          SELECT n.host,
+                 CAST(({100 - damp_pct} * (SELECT b FROM base)
+                   + {damp_pct} * COALESCE(SUM((r.rank // d.outdeg) * e.n_links), 0)
+                  ) // 100 AS BIGINT) AS rank
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.host
+          LEFT JOIN r{i} r ON r.host = e.src
+          LEFT JOIN deg d ON d.src = e.src
+          GROUP BY n.host
+        )""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT host, rank FROM r{iters}"

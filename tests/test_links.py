@@ -1,0 +1,62 @@
+"""Link extraction edge cases + PageRank recurrence sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhtmlparser3_spark.functions.links import host_edges, outlinks, pagerank
+
+
+def _pages(spark, htmls):
+    rows = [(f"https://h{i}.example/{i}.html", h.encode()) for i, h in enumerate(htmls)]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+@pytest.mark.spark
+def test_outlinks_edge_cases(spark):
+    out = outlinks(
+        _pages(
+            spark,
+            [
+                # no-href anchor dropped; ci HREF key found; unquoted value
+                '<a name="x">skip</a><a HREF=/rel>r</a>',
+                # anchor text = DIRECT text children, document order
+                '<a href="https://t.example/">pre<b>bold</b>post</a>',
+                "<p>no links</p>",
+            ],
+        )
+    ).collect()
+    got = sorted((r.url, r.href, r.anchor) for r in out)
+    assert got == [
+        ("https://h0.example/0.html", "/rel", "r"),
+        ("https://h1.example/1.html", "https://t.example/", "prepost"),
+    ]
+
+
+@pytest.mark.spark
+def test_pagerank_sink_accumulates(spark):
+    # two sources pointing at one sink: sink ends above the uniform base,
+    # sources at the dangling floor; total mass stays bounded by PR_SCALE
+    edges = spark.createDataFrame(
+        [("a", "c", 1), ("b", "c", 1)], "src string, dst string, n_links long"
+    )
+    r = {row.host: row.rank for row in pagerank(edges, iters=3).collect()}
+    assert set(r) == {"a", "b", "c"}
+    assert r["a"] == r["b"] < r["c"]
+    assert sum(r.values()) <= 10**12
+
+
+@pytest.mark.spark
+def test_host_edges_multiplicity(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://s.example/p1", "https://d.example/x"),
+            ("https://s.example/p2", "https://d.example/y"),
+        ],
+        "url string, href string",
+    )
+    rows = host_edges(links).collect()
+    assert [(r.src, r.dst, r.n_links) for r in rows] == [
+        ("s.example", "d.example", 2)
+    ]
