@@ -719,6 +719,57 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
 
 
+def _q_mixture_sample(spark, sf_dir):
+    """Deterministic per-source mixture downsampling (hash-mod keep rule,
+    quality_filters.mixture_sample): reproducible across runs/engines —
+    the oracle applies the identical md5-derived rule."""
+    from dhtmlparser3_spark.functions.quality_filters import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return mixture_sample(docs, base_pct=20)
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each click matched to the latest
+    at-or-before view by the same user.  Spark side is the tagged-union +
+    single-window formulation (one shuffle on user_id); the oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — two independent implementations of
+    the operator semantics."""
+    from pyspark.sql import Window
+
+    from dhtmlparser3_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("view_event_id"))
+    )
+    out = asof_join(clicks, views, on=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id_matched").alias("view_event_id"),
+        # events.ts is TIMESTAMP_NTZ (unix_micros rejects it); the cast
+        # applies the session zone to both sides, so the DIFFERENCE is
+        # zone-invariant
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_matched").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("lag_us"),
+    )
+
+
 def _q_outlinks(spark, sf_dir):
     """<a href> extraction over deterministic link-bearing pages
     (sources/links.py): ONE pandas-UDF parse to the node table, then pure
@@ -1047,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": _q_outlinks,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
+        "mixture_sample": _q_mixture_sample,
+        "asof_join": _q_asof_join,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
@@ -1630,6 +1683,33 @@ def oracle_sql() -> dict[str, str]:
         "outlinks": _sql_outlinks(),
         "host_graph": _sql_host_graph(),
         "host_pagerank": _sql_host_pagerank(),
+        "mixture_sample": f"""
+          SELECT doc_id, source,
+                 CAST(20 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) * 7) % 60
+                      AS INT) AS rate_pct
+          FROM documents
+          WHERE {_HASH60.format(x="'mix-' || CAST(doc_id AS VARCHAR)")} % 100
+                < 20 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) * 7) % 60
+        """,
+        # the oracle is DuckDB's NATIVE ASOF JOIN — an independent
+        # implementation of the at-or-before-match semantics, not a
+        # transliteration of the Spark window formulation
+        "asof_join": """
+          WITH clicks AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+          ),
+          views AS (
+            SELECT user_id, ts, event_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk
+              FROM events WHERE event_type = 'view'
+            ) WHERE rk = 1
+          )
+          SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+                 CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+          FROM clicks c ASOF LEFT JOIN views v
+            ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
         "top_terms": f"""
           WITH toks AS (
             SELECT source, unnest({_toks()}) AS term FROM documents

@@ -161,3 +161,34 @@ def url_features(pages: DataFrame) -> DataFrame:
         (F.size(F.split(path, "/")) - 1).cast("int").alias("path_depth"),
         F.element_at(F.split(path, "/"), -1).alias("doc_name"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    base_pct: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the training-mixture
+    builder's downsampling pass (e.g. keep 20% of crawl, 90% of curated
+    sources), reproducible across runs/engines/incremental ingests.
+
+    The keep decision is a pure function of (id, salt): md5-derived 60-bit
+    hash mod 100 < rate — no RNG, no sampleBy approximation drift, and a
+    re-run or a late-arriving partition samples IDENTICALLY (the property
+    rng-based df.sample cannot give).  Per-source rate here derives from
+    the source's numeric suffix (base + 7*suffix mod 60) so the oracle is
+    closed-form; a production run would broadcast-join a real rate table.
+    Whole-stage codegen, zero shuffles, zero Python.
+    """
+    from dhtmlparser3_spark.functions.textops import hash60_col
+
+    suffix = F.regexp_extract(F.col(group_col), r"(\d+)$", 1).cast("int")
+    rate = F.lit(base_pct) + (suffix * 7) % 60
+    bucket = F.pmod(
+        hash60_col(F.concat(F.lit("mix-"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    )
+    return docs.select(
+        id_col, group_col, rate.cast("int").alias("rate_pct")
+    ).where(bucket < rate)
