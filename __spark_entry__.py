@@ -90,6 +90,26 @@ def _shingles_sql(n: int = 3) -> str:
     )"""
 
 
+def _sql_extract_delta() -> str:
+    from dhtmlparser3_spark.sources.pages import (
+        EXPECTED_CONTENT_STR,
+        case_over_templates_sql,
+    )
+
+    url = (
+        "printf('https://host%02d.example/%s/%d.html', "
+        "(doc_id % 97)::INT, source, doc_id)"
+    )
+    return f"""
+      SELECT {url} AS url,
+             CASE WHEN doc_id % 10 = 0 THEN 'new'
+                  WHEN doc_id % 7 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             {case_over_templates_sql(EXPECTED_CONTENT_STR)} AS extracted_text
+      FROM documents
+    """
+
+
 def _sql_outlinks() -> str:
     from dhtmlparser3_spark.sources.links import links_oracle_sql
 
@@ -719,6 +739,34 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
 
 
+def _q_extract_delta(spark, sf_dir):
+    """Incremental re-crawl (pipeline/incremental.py): previous-run store
+    synthesized with 10% of urls missing (→ new) and 1-in-7 digests stale
+    (→ changed); only those routes hit the parse UDF, unchanged rows reuse
+    stored text.  Oracle: closed-form status rules + the expected
+    content_str formula — fresh parses must land byte-identical on it."""
+    from dhtmlparser3_spark.pipeline.incremental import extract_delta
+    from dhtmlparser3_spark.sources.pages import (
+        EXPECTED_CONTENT_STR,
+        build_pages,
+        case_over_templates,
+    )
+
+    pages = build_pages(spark, sf_dir)
+    old = pages.where(F.col("doc_id") % 10 != 0).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.md5(F.concat(F.lit("stale-"), F.col("url"))),
+        )
+        .otherwise(F.md5("html"))
+        .alias("digest"),
+        case_over_templates(EXPECTED_CONTENT_STR).alias("extracted_text"),
+    )
+    out = extract_delta(pages.select("url", "html"), old)
+    return out.select("url", "status", "extracted_text")
+
+
 def _q_mixture_sample(spark, sf_dir):
     """Deterministic per-source mixture downsampling (hash-mod keep rule,
     quality_filters.mixture_sample): reproducible across runs/engines —
@@ -1100,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "mixture_sample": _q_mixture_sample,
         "asof_join": _q_asof_join,
+        "extract_delta": _q_extract_delta,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
@@ -1683,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "outlinks": _sql_outlinks(),
         "host_graph": _sql_host_graph(),
         "host_pagerank": _sql_host_pagerank(),
+        "extract_delta": _sql_extract_delta(),
         "mixture_sample": f"""
           SELECT doc_id, source,
                  CAST(20 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) * 7) % 60
