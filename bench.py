@@ -359,8 +359,10 @@ def main():
         runs = {}
         samples: dict = {}
 
-        def one_width(p, cores):
-            r = _pinned_extract(cores, sf_dir, smult, runs=sruns)
+        def one_width(p, cores, runs_override=None):
+            r = _pinned_extract(
+                cores, sf_dir, smult, runs=runs_override or sruns
+            )
             samples.setdefault(cores, []).append(
                 {"secs": round(r["secs"], 3), "mp_secs": round(r["mp_secs"], 3)}
             )
@@ -394,7 +396,12 @@ def main():
         # the rule or the budget is spent; every sample stays in the JSON
         # and min-of-samples remains the estimator throughout (this adds
         # samples, it never discards any).
-        max_extra = int(os.environ.get("SPARK_GRAFT_SCALING_EXTRA", "6"))
+        # extension passes run ONE timed execution per width (not sruns):
+        # the min-of-samples estimator needs samples from many DISTINCT VM
+        # windows — the degraded windows last minutes, so best-of-3 inside
+        # one window buys nothing while tripling the cost of covering more
+        # windows
+        max_extra = int(os.environ.get("SPARK_GRAFT_SCALING_EXTRA", "8"))
         extra = 0
         while (
             (runs[4]["secs"] / runs[16]["secs"]) / 4 < 0.82
@@ -404,7 +411,7 @@ def main():
             extra += 1
             log(f"scaling: raw 4→16 below gate — extra interleaved pass {extra}")
             for cores in (4, 16):
-                one_width(f"x{extra}", cores)
+                one_width(f"x{extra}", cores, runs_override=1)
         eff_4_16 = (runs[4]["secs"] / runs[16]["secs"]) / 4
         eff_8_32 = (runs[8]["secs"] / runs[32]["secs"]) / 4
         hw_4_16 = (runs[4]["mp_secs"] / runs[16]["mp_secs"]) / 4
