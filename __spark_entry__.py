@@ -739,6 +739,18 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
 
 
+def _q_train_export(spark, sf_dir):
+    """Composed training export (pipeline/train_export.py): deterministic
+    mixture sample → content-hash train/val split → per-split sequence
+    packing; one composed window-chain oracle."""
+    from dhtmlparser3_spark.pipeline.train_export import train_export
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    return train_export(docs, seq_len=128, base_pct=20, train_pct=90)
+
+
 def _q_extract_delta(spark, sf_dir):
     """Incremental re-crawl (pipeline/incremental.py): previous-run store
     synthesized with 10% of urls missing (→ new) and 1-in-7 digests stale
@@ -1149,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "asof_join": _q_asof_join,
         "extract_delta": _q_extract_delta,
+        "train_export": _q_train_export,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
@@ -1733,6 +1746,35 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _sql_host_graph(),
         "host_pagerank": _sql_host_pagerank(),
         "extract_delta": _sql_extract_delta(),
+        "train_export": f"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN {_HASH60.format(x='text')} % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split,
+                   CAST(len({_toks()}) AS BIGINT) AS n_tok
+            FROM documents
+            WHERE {_HASH60.format(x="'mix-' || CAST(doc_id AS VARCHAR)")} % 100
+                  < 20 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) * 7) % 60
+              AND len({_toks()}) > 0
+          ),
+          c AS (
+            SELECT split, doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+            FROM d
+          ),
+          ex AS (
+            SELECT split, doc_id, n_tok, off,
+                   unnest(generate_series(CAST(off // 128 AS BIGINT),
+                                          CAST((off + n_tok - 1) // 128 AS BIGINT))) AS pack_id
+            FROM c
+          )
+          SELECT split, pack_id,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(LEAST((pack_id + 1) * 128, off + n_tok)
+                        - GREATEST(pack_id * 128, off)) AS BIGINT) AS n_tokens
+          FROM ex GROUP BY split, pack_id
+        """,
         "mixture_sample": f"""
           SELECT doc_id, source,
                  CAST(20 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) * 7) % 60
