@@ -90,6 +90,22 @@ def _shingles_sql(n: int = 3) -> str:
     )"""
 
 
+def _sql_url_canon() -> str:
+    whens_messy = "".join(
+        f" WHEN doc_id % 4 = {m} THEN printf('{fmt}', (doc_id % 97)::INT, doc_id)"
+        for m, (fmt, _) in enumerate(_MESSY_URL_FMTS)
+    )
+    whens_canon = "".join(
+        f" WHEN doc_id % 4 = {m} THEN printf('{canon}', (doc_id % 97)::INT, doc_id)"
+        for m, (_, canon) in enumerate(_MESSY_URL_FMTS)
+    )
+    return f"""
+      SELECT (CASE{whens_messy} END) AS url,
+             (CASE{whens_canon} END) AS canonical
+      FROM documents
+    """
+
+
 def _sql_extract_delta() -> str:
     from dhtmlparser3_spark.sources.pages import (
         EXPECTED_CONTENT_STR,
@@ -739,6 +755,45 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(dedup_corpus(spark, sf_dir), n=3, max_hamming=3)
 
 
+_MESSY_URL_FMTS = [
+    # (messy printf fmt, canonical printf fmt) by doc_id % 4 — exercises
+    # case-folding, default/non-default ports, fragments, query sorting
+    ("https://Host%02d.EXAMPLE/p/%d.html", "https://host%02d.example/p/%d.html"),
+    (
+        "HTTPS://host%02d.example:443/p/%d.html?z=1&a=2",
+        "https://host%02d.example/p/%d.html?a=2&z=1",
+    ),
+    (
+        "http://host%02d.example:8080/p/%d.html#sec",
+        "http://host%02d.example:8080/p/%d.html",
+    ),
+    (
+        "http://host%02d.example:80/p/%d.html?b=2&a=1&b=10#x",
+        "http://host%02d.example/p/%d.html?a=1&b=10&b=2",
+    ),
+]
+
+
+def _q_url_canon(spark, sf_dir):
+    """URL canonicalization (quality_filters.canonical_url_col) over a
+    closed-form messy-URL spec; the oracle re-derives the canonical form
+    from the formula, so the operator is verified end-to-end."""
+    from dhtmlparser3_spark.functions.quality_filters import canonical_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    messy = None
+    for m, (fmt, _) in enumerate(_MESSY_URL_FMTS):
+        v = F.format_string(
+            fmt, (F.col("doc_id") % 97).cast("int"), F.col("doc_id")
+        )
+        messy = F.when(F.col("doc_id") % 4 == m, v) if messy is None else messy.when(
+            F.col("doc_id") % 4 == m, v
+        )
+    return docs.select(messy.alias("url")).withColumn(
+        "canonical", canonical_url_col("url")
+    )
+
+
 def _q_train_export(spark, sf_dir):
     """Composed training export (pipeline/train_export.py): deterministic
     mixture sample → content-hash train/val split → per-split sequence
@@ -1162,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "extract_delta": _q_extract_delta,
         "train_export": _q_train_export,
+        "url_canon": _q_url_canon,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,  # approximate — rows-only; bounded by ann_recall
         "ann_ivf": _q_ann_ivf,  # approximate — rows-only; bounded by ann_recall
@@ -1746,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _sql_host_graph(),
         "host_pagerank": _sql_host_pagerank(),
         "extract_delta": _sql_extract_delta(),
+        "url_canon": _sql_url_canon(),
         "train_export": f"""
           WITH d AS (
             SELECT doc_id,

@@ -192,3 +192,46 @@ def mixture_sample(
     return docs.select(
         id_col, group_col, rate.cast("int").alias("rate_pct")
     ).where(bucket < rate)
+
+
+def canonical_url_col(col: str = "url") -> "F.Column":
+    """Canonical form of a URL, pure whole-stage codegen — the
+    normalization crawls apply BEFORE url-keyed dedup/joins (mixed-case
+    hosts, default ports, fragments and query-param order otherwise make
+    the same page look like distinct keys and silently defeat url dedup):
+
+      1. scheme and host lowercased (userinfo is out of scope — CC URLs),
+      2. default ports stripped (``:80`` for http, ``:443`` for https),
+      3. fragment dropped,
+      4. query parameters sorted bytewise (duplicates kept),
+      5. a bare trailing ``?`` dropped.
+
+    Path dot-segment resolution is deliberately NOT done (it changes which
+    resource is addressed when symlinked dirs differ; crawlers record the
+    path as fetched).  The sort in (4) is plain string sort — identical in
+    Spark's array_sort and DuckDB's list_sort for ASCII keys.
+    """
+    c = F.col(col)
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    hostport = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    # schemeless/relative junk (crawl tables do contain it) passes through
+    # unchanged rather than collapsing to "://"
+    return F.when(scheme == "", c).otherwise(canon)

@@ -91,3 +91,23 @@ def test_mixture_sample_deterministic_and_rate_shaped(spark):
         for r in mixture_sample(docs).select("source", "rate_pct").distinct().collect()
     }
     assert rates == {"src0": 20, "src1": 27, "src2": 34, "src3": 41}
+
+
+@pytest.mark.spark
+def test_canonical_url_edge_cases(spark):
+    from dhtmlparser3_spark.functions.quality_filters import canonical_url_col
+
+    cases = {
+        "https://A.B/p": "https://a.b/p",
+        "HTTP://a.b:80/x?b=1&a=2#f": "http://a.b/x?a=2&b=1",
+        "https://a.b:8443/x": "https://a.b:8443/x",  # non-default port kept
+        "https://a.b/x?": "https://a.b/x",  # bare '?' dropped
+        "relative/path.html": "relative/path.html",  # schemeless untouched
+        "https://a.b": "https://a.b",  # no path
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonical_url_col("url").alias("c")).collect()
+    }
+    assert got == cases
