@@ -143,6 +143,24 @@ def _sql_host_graph() -> str:
     """
 
 
+def _sql_inlink_texts() -> str:
+    from dhtmlparser3_spark.sources.links import links_oracle_sql
+
+    return f"""
+      WITH agg AS (
+        SELECT regexp_extract(href, 'https://([^/]+)/', 1) AS dst,
+               anchor, CAST(count(*) AS BIGINT) AS n
+        FROM {links_oracle_sql()}
+        WHERE anchor <> '' GROUP BY 1, 2
+      )
+      SELECT dst, anchor, n, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY dst ORDER BY n DESC, anchor ASC) AS rk
+        FROM agg
+      ) WHERE rk <= 3
+    """
+
+
 def _sql_host_pagerank() -> str:
     from dhtmlparser3_spark.functions.links import pagerank_oracle_sql
     from dhtmlparser3_spark.sources.links import links_oracle_sql
@@ -834,6 +852,15 @@ def _q_extract_delta(spark, sf_dir):
     return out.select("url", "status", "extracted_text")
 
 
+def _q_inlink_texts(spark, sf_dir):
+    """Top-3 anchor texts per TARGET host (links.inlink_texts) over the
+    extracted outlink set — the anchor-text corpus enrichment signal."""
+    from dhtmlparser3_spark.functions.links import inlink_texts, outlinks
+    from dhtmlparser3_spark.sources.links import build_link_pages
+
+    return inlink_texts(outlinks(build_link_pages(spark, sf_dir)), k=3)
+
+
 def _q_mixture_sample(spark, sf_dir):
     """Deterministic per-source mixture downsampling (hash-mod keep rule,
     quality_filters.mixture_sample): reproducible across runs/engines —
@@ -1213,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": _q_outlinks,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
+        "inlink_texts": _q_inlink_texts,
         "mixture_sample": _q_mixture_sample,
         "asof_join": _q_asof_join,
         "extract_delta": _q_extract_delta,
@@ -1801,6 +1829,7 @@ def oracle_sql() -> dict[str, str]:
         "outlinks": _sql_outlinks(),
         "host_graph": _sql_host_graph(),
         "host_pagerank": _sql_host_pagerank(),
+        "inlink_texts": _sql_inlink_texts(),
         "extract_delta": _sql_extract_delta(),
         "url_canon": _sql_url_canon(),
         "train_export": f"""

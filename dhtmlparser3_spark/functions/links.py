@@ -172,3 +172,31 @@ def pagerank_oracle_sql(
           GROUP BY n.host
         )""")
     return "WITH " + ",\n".join(ctes) + f"\nSELECT host, rank FROM r{iters}"
+
+
+def inlink_texts(links: DataFrame, k: int = 3) -> DataFrame:
+    """(dst, anchor, n, rk) — top-k anchor texts pointing AT each host.
+
+    The classic web-corpus enrichment: what the web calls a page often
+    beats what the page calls itself, so per-target anchor aggregates feed
+    both retrieval corpora and host-quality priors.  Word-count shape on
+    (dst_host, anchor) with WindowGroupLimit top-k; deterministic
+    (n desc, anchor asc) ties.
+    """
+    from pyspark.sql import Window
+
+    agg = (
+        links.select(
+            F.regexp_extract("href", HOST_RE, 1).alias("dst"),
+            F.col("anchor"),
+        )
+        .where(F.col("anchor") != "")
+        .groupBy("dst", "anchor")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("anchor").asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("dst", "anchor", "n", F.col("rk").cast("int").alias("rk"))
+    )
