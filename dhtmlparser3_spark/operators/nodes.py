@@ -45,9 +45,14 @@ def node_table(
     from dhtmlparser3_spark.functions.extract import NODE_FIELD_TYPES
 
     flds = list(fields) if fields else list(NODE_FIELD_TYPES)
+    # explode_outer + post-filter, NOT plain explode: Catalyst infers a
+    # size(udf(..)) > 0 filter BELOW a non-outer Generate and evaluates the
+    # parse UDF twice per document (PLANS.md §6b; pinned by
+    # tests/test_plan_shapes.py::test_outlinks_plan_single_parse)
     return (
         parse_nodes(pages, fields=fields)
-        .select(key_col, F.explode("nodes").alias("n"))
+        .select(key_col, F.explode_outer("nodes").alias("n"))
+        .where(F.col("n").isNotNull())
         .select(key_col, *[F.col(f"n.{f}").alias(f) for f in flds])
     )
 

@@ -1,0 +1,75 @@
+"""Physical-plan regression pins for the single-UDF-evaluation invariants.
+
+PLANS.md §6b documents two measured regressions this repo fixed: (1) a
+plain `explode(pandas_udf(...))` makes Catalyst infer a size() filter
+BELOW the Generate and evaluate the UDF twice; (2) an unpersisted
+UDF-derived subplan referenced N times is re-evaluated N times (the
+MinHash verify join once carried NINE ArrowEvalPython nodes).  These tests
+pin the fixed shapes so a refactor cannot silently reintroduce either.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, n=40):
+    return spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12))) for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def _assert_udf_only_behind_cache(plan: str, min_refs: int) -> None:
+    """Every ArrowEvalPython in the plan text must be part of a cached
+    relation's DESCRIPTION (the text repeats the producing plan once per
+    reference, but the cache evaluates once at runtime).  An Arrow node
+    outside a cache — count mismatch — means the persist was dropped and
+    the UDF would re-run per plan reference."""
+    n_arrow = plan.count("ArrowEvalPython")
+    n_cached = plan.count("InMemoryRelation")
+    n_refs = plan.count("InMemoryTableScan")
+    assert n_arrow == n_cached, plan
+    assert n_refs >= min_refs, plan
+
+
+@pytest.mark.spark
+def test_minhash_plan_single_udf_evaluation(spark):
+    from dhtmlparser3_spark.functions.dedup import minhash_lsh_pairs
+
+    _assert_udf_only_behind_cache(
+        _plan(minhash_lsh_pairs(_docs(spark), n=3, tau_pct=60)), min_refs=3
+    )
+
+
+@pytest.mark.spark
+def test_jaccard_plan_single_udf_evaluation(spark):
+    from dhtmlparser3_spark.functions.dedup import jaccard_pairs
+
+    _assert_udf_only_behind_cache(
+        _plan(jaccard_pairs(_docs(spark), n=3, tau_pct=60)), min_refs=3
+    )
+
+
+@pytest.mark.spark
+def test_outlinks_plan_single_parse(spark):
+    from dhtmlparser3_spark.functions.links import outlinks
+
+    pages = spark.createDataFrame(
+        [("u", b'<a href="https://t.example/">x</a>')], "url string, html binary"
+    )
+    _assert_udf_only_behind_cache(_plan(outlinks(pages)), min_refs=2)
+
+
+@pytest.mark.spark
+def test_fingerprints_plan_zero_exchanges(spark):
+    from dhtmlparser3_spark.functions.textops import fingerprints
+
+    plan = _plan(fingerprints(_docs(spark)))
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
