@@ -315,12 +315,15 @@ def top_terms(
     with rank pushdown (WindowGroupLimit).  Ties break on term asc for
     cross-engine determinism.
     """
+    # explode_outer + post-filter: a non-outer Generate gets a size()>0
+    # filter inferred below it and the regex tokenization runs twice per
+    # row (cheap JVM work, but 2x the tokenize cost for nothing)
     toks = docs.select(
-        F.col(group_col), F.explode(tokens_col(col)).alias("term")
-    )
+        F.col(group_col), F.explode_outer(tokens_col(col)).alias("term")
+    ).where(F.col("term").isNotNull())
     per_doc = docs.select(
-        F.explode(F.array_distinct(tokens_col(col))).alias("term")
-    )
+        F.explode_outer(F.array_distinct(tokens_col(col))).alias("term")
+    ).where(F.col("term").isNotNull())
     n_docs = docs.select(F.count("*").alias("n_docs"))
     stop = (
         per_doc.groupBy("term")
