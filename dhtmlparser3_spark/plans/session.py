@@ -49,6 +49,17 @@ def get_spark(
         # python workers get balanced slices
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch on tmpfs: this sandbox's /tmp sits on a
+        # shared virtual disk whose throughput swings wildly between VM
+        # windows, and the salted-repartition shuffle pays that variance
+        # twice (write+read).  A real cluster provisions local SSD for
+        # exactly this reason; /dev/shm is the single-box equivalent.  Our
+        # shuffles are ≤2 GB so RAM-disk residency is safe; override with
+        # SPARK_GRAFT_LOCAL_DIR for disk-backed runs.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
