@@ -10,9 +10,11 @@ shuffle, Arrow) and the Python workers spill onto other cores, so small-N
 runs over-perform and the ratio understates true scaling.  Each scaling
 run therefore executes in a SUBPROCESS pinned with ``taskset -c`` to
 exactly N cores — a faithful N-core-executor proxy.  The headline pair is
-4 → 16 cores (both within the box's physical cores; 16 → 32 crosses into
-SMT siblings, which measures the hardware's ~1.3x hyperthread yield, not
-the job).  The 8 → 32 pair is reported alongside for completeness.
+4 → 16 cores.  The guest reports 32 single-thread vCPUs (lscpu), but
+measured per-core yield above 16 cores collapses for Spark and pure
+python alike (pure-mp 8→32 efficiency 0.5-0.8) — host-side SMT sharing or
+oversubscription the guest cannot see — so the 8 → 32 pair is reported
+alongside for completeness, not as job evidence.
 
 Per-query timings cover every queries() entry from __spark_entry__.
 
@@ -525,9 +527,11 @@ def _write_bench_md(result: dict, mult: int) -> None:
             "Each run is the identical job in a subprocess pinned with",
             "`taskset -c` to exactly N cores (a bare local[N] lets JVM +",
             "python workers spill onto unpinned cores and distorts the",
-            "ratio).  The 4→16 pair stays within physical cores; 8→32",
-            "crosses into SMT siblings and measures the hardware's",
-            "hyperthread yield, not the job.",
+            "ratio).  The evidence pair is 4→16: above 16 cores the VM's",
+            "per-core yield collapses for Spark and pure python alike",
+            "(host-side SMT sharing / oversubscription the guest cannot",
+            "see — lscpu reports 32 single-thread vCPUs), so 8→32 is",
+            "reported for completeness, not as job evidence.",
             "",
             "| pinned cores | wall sec (min) | docs/sec | all samples (sec) |",
             "| --- | --- | --- | --- |",
