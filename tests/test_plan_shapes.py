@@ -73,3 +73,45 @@ def test_fingerprints_plan_zero_exchanges(spark):
     plan = _plan(fingerprints(_docs(spark)))
     assert "Exchange" not in plan, plan
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+@pytest.mark.spark
+def test_extract_pages_plan_one_exchange_one_python_stage(spark):
+    """The extraction pipeline's physical plan is scan → ONE exchange (the
+    explicit salted repartition) → ONE Python stage.  A second exchange or
+    Python node means a regression in the pipeline's core shape
+    (PLANS.md §1)."""
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/{i}", b"<p>x</p>") for i in range(12)],
+        "url string, html binary",
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn("lang", F.lit("en"))
+    plan = _plan(extract_pages(pages, parallelism=4, with_metrics=False))
+    n_python = plan.count("MapInPandas") + plan.count("PythonMapInArrow")
+    assert n_python == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning" in plan, plan  # the salted key, not round-robin
+
+
+@pytest.mark.spark
+def test_host_topk_plan_uses_window_group_limit(spark):
+    """rank<=k over a global window must be rewritten by WindowGroupLimit
+    into a distributed TakeOrderedAndProject (per-partition top-k, driver
+    merge) — the global Window then numbers only k rows.  Without the
+    rewrite, 10^8 host rows funnel through one task."""
+    from pyspark.sql import Window
+
+    counts = (
+        spark.range(100)
+        .select((F.col("id") % 7).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("host").asc())
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+    )
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan, plan
