@@ -306,6 +306,78 @@ def _stats_one(html: str):
     return len(kinds), kinds.count(TAG), kinds.count(TEXT), None
 
 
+_ARROW_SPAN_TYPE = None  # built lazily (pa import is cheap but keep module light)
+
+
+def _arrow_span_type():
+    global _ARROW_SPAN_TYPE
+    if _ARROW_SPAN_TYPE is None:
+        import pyarrow as pa
+
+        _ARROW_SPAN_TYPE = pa.list_(
+            pa.struct(
+                [
+                    ("node_id", pa.int32()),
+                    ("src_start", pa.int32()),
+                    ("src_end", pa.int32()),
+                ]
+            )
+        )
+    return _ARROW_SPAN_TYPE
+
+
+def make_extract_arrow_iterator(passthrough=("url", "warc_ts", "lang")):
+    """Build a mapInArrow function: RecordBatches of pages → extraction
+    RecordBatches.
+
+    Same per-doc work as make_extract_iterator, minus the pandas detour on
+    BOTH sides of the boundary: the html column is unboxed once at the C
+    level (``to_pylist``), passthrough columns are re-emitted zero-copy
+    (no Arrow→pandas→Arrow round-trip — for ``warc_ts`` that also skips
+    two timezone-aware datetime conversions), and output columns are built
+    as Arrow arrays directly, so Spark never runs its pandas→Arrow struct
+    converter over the nested ``spans`` column.  Measured at 16 pinned
+    cores this removes most of the UDF-stage overhead vs the pure-
+    multiprocessing ceiling (scripts/exp_width.py)."""
+    import pyarrow as pa
+
+    span_t = _arrow_span_type()
+
+    def run(batches):
+        for rb in batches:
+            idx = rb.schema.get_field_index("html")
+            htmls = rb.column(idx).to_pylist()
+            gc_was_enabled = gc.isenabled()
+            gc.disable()
+            try:
+                rows = [extract_one(decode_html(h)) for h in htmls]
+            finally:
+                if gc_was_enabled:
+                    gc.enable()
+            if rows:
+                cols = list(zip(*rows))
+            else:
+                cols = [[] for _ in _EXTRACT_COLS]
+            arrays = [
+                rb.column(rb.schema.get_field_index(c)) for c in passthrough
+            ]
+            arrays += [
+                pa.array(cols[0], pa.string()),
+                pa.array(cols[1], pa.string()),
+                pa.array(cols[2], pa.int32()),
+                pa.array(cols[3], pa.int32()),
+                pa.array(cols[4], pa.int32()),
+                pa.array(cols[5], pa.int64()),
+                pa.array(cols[6], span_t),
+                pa.array(cols[7], pa.string()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, list(passthrough) + list(_EXTRACT_COLS)
+            )
+
+    return run
+
+
 def make_stats_iterator(passthrough=("url", "warc_ts", "lang")):
     """Counts-only extraction: parses but skips serialization (content_str /
     main_text / spans) AND their Arrow transfer — for aggregation-only

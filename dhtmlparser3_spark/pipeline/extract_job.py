@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from dhtmlparser3_spark.functions.extract import (
     EXTRACT_SCHEMA,
     STATS_SCHEMA,
+    make_extract_arrow_iterator,
     make_extract_iterator,
     make_stats_iterator,
 )
@@ -63,8 +64,17 @@ def extract_pages(
     salt: int = 2024,
     with_metrics: bool = True,
     repartition: str = "salted",
+    io: str = "arrow",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) → extracted rows.
+
+    ``io`` picks the worker boundary: ``"arrow"`` (default) runs
+    ``mapInArrow`` — output columns are built as Arrow arrays in the
+    worker and passthrough columns re-emitted zero-copy, skipping the
+    pandas round-trip on both sides (the pandas→Arrow struct converter
+    over the nested ``spans`` column is the single largest non-parse cost
+    at width; scripts/exp_width.py).  ``"pandas"`` keeps the mapInPandas
+    path (same rows, bit-identical — pinned by test_extract_arrow_parity).
 
     ``repartition`` picks the pre-UDF physical layout:
 
@@ -89,7 +99,12 @@ def extract_pages(
     if parallelism is None:
         parallelism = sc.defaultParallelism * 2
     df = _apply_repartition(df, repartition, parallelism, salt)
-    out = df.mapInPandas(make_extract_iterator(), schema=EXTRACT_SCHEMA)
+    if io == "arrow":
+        out = df.mapInArrow(make_extract_arrow_iterator(), schema=EXTRACT_SCHEMA)
+    elif io == "pandas":
+        out = df.mapInPandas(make_extract_iterator(), schema=EXTRACT_SCHEMA)
+    else:
+        raise ValueError(f"io={io!r}: expected 'arrow' or 'pandas'")
     if with_metrics:
         out = out.observe(
             "extract_metrics",

@@ -176,3 +176,43 @@ def test_stats_path_matches_full_extract(spark):
         .reset_index(drop=True)
     )
     assert full.equals(slim)
+
+
+@pytest.mark.spark
+def test_extract_arrow_parity_with_pandas_path(spark):
+    """io="arrow" (mapInArrow, default) and io="pandas" (mapInPandas) are the
+    same operator: identical rows — values, nested spans, error rows, and
+    schema — on a corpus that includes poison docs (out-of-range entity)."""
+    pages = pg.build_pages(spark, SF).where("doc_id < 120")
+    poison = spark.createDataFrame(
+        [
+            ("poison://entity", "<p>pre &#1114112; post</p>".encode()),
+            ("poison://empty", b""),
+        ],
+        "url string, html binary",
+    ).selectExpr(
+        "url",
+        "timestamp'2024-01-01' as warc_ts",
+        "html",
+        "cast(null as string) as text",
+        "'en' as lang",
+    )
+    src = pages.select("url", "warc_ts", "html", "text", "lang").unionByName(
+        poison
+    )
+    kw = dict(parallelism=4, with_metrics=False)
+    a = extract_pages(src, io="arrow", **kw)
+    p = extract_pages(src, io="pandas", **kw)
+    assert a.schema == p.schema
+    pda = a.toPandas().sort_values("url").reset_index(drop=True)
+    pdp = p.toPandas().sort_values("url").reset_index(drop=True)
+    assert list(pda["url"]) == list(pdp["url"])
+    for col in pda.columns:
+        # spans cells are arrays of Rows — compare via repr to avoid
+        # numpy's elementwise == on nested cells
+        assert (
+            pda[col].map(repr).tolist() == pdp[col].map(repr).tolist()
+        ), f"column {col} diverges"
+    errs = dict(zip(pda["url"], pda["error"]))
+    assert errs["poison://entity"] is not None
+    assert errs["poison://empty"] is None
