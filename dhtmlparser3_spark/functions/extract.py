@@ -150,6 +150,149 @@ def flatten_nodes(a: Arena, fields=None):
     ]
 
 
+def append_nodes_columns(a: Arena, cols: dict) -> int:
+    """flatten_nodes with COLUMNAR output: append this document's pre-order
+    node records to per-field flat lists (the Arrow-direct boundary builds
+    one StructArray per batch from them — no per-node Python dicts, no
+    pandas→Arrow struct conversion).  Same walk, same numbering, same
+    values as flatten_nodes; parity pinned by
+    tests/test_relational_differential.py::test_node_table_arrow_parity.
+    Returns the number of nodes appended."""
+    order: List[int] = []
+    depths: List[int] = []
+    parents: List[int] = []
+    rank = {}
+    stack = [(a.result_root, 0, -1)]
+    while stack:
+        nid, depth, par = stack.pop()
+        rank[nid] = len(order)
+        order.append(nid)
+        depths.append(depth)
+        parents.append(par)
+        if a.kind[nid] == TAG:
+            for ch in reversed(a.children[nid]):
+                stack.append((ch, depth + 1, rank[nid]))
+
+    n = len(order)
+    sub_end = list(range(1, n + 1))
+    for i in range(n - 1, 0, -1):
+        p = parents[i]
+        if sub_end[i] > sub_end[p]:
+            sub_end[p] = sub_end[i]
+
+    for f, out in cols.items():
+        if f == "node_id":
+            out.extend(range(n))
+        elif f == "parent_id":
+            out.extend(parents)
+        elif f == "kind":
+            out.extend(a.kind[nid] for nid in order)
+        elif f == "name":
+            out.extend(a.name[nid] or None for nid in order)
+        elif f == "attrs":
+            out.extend(
+                [{"key": k, "value": v} for k, v in a.attrs[nid]] or None
+                for nid in order
+            )
+        elif f == "text":
+            out.extend(a.text[nid] or None for nid in order)
+        elif f == "is_non_pair":
+            out.extend(bool(a.non_pair[nid]) for nid in order)
+        elif f == "depth":
+            out.extend(depths)
+        elif f == "subtree_end":
+            out.extend(sub_end)
+        elif f == "src_start":
+            out.extend(a.src_start[nid] for nid in order)
+        elif f == "src_end":
+            out.extend(a.src_end[nid] for nid in order)
+        else:  # pragma: no cover - guarded by NODE_FIELD_TYPES
+            raise KeyError(f)
+    return n
+
+
+_ARROW_NODE_FIELD_TYPES = None
+
+
+def _arrow_node_field_types():
+    global _ARROW_NODE_FIELD_TYPES
+    if _ARROW_NODE_FIELD_TYPES is None:
+        import pyarrow as pa
+
+        _ARROW_NODE_FIELD_TYPES = {
+            "node_id": pa.int32(),
+            "parent_id": pa.int32(),
+            "kind": pa.int8(),
+            "name": pa.string(),
+            "attrs": pa.list_(
+                pa.struct([("key", pa.string()), ("value", pa.string())])
+            ),
+            "text": pa.string(),
+            "is_non_pair": pa.bool_(),
+            "depth": pa.int32(),
+            "subtree_end": pa.int32(),
+            "src_start": pa.int32(),
+            "src_end": pa.int32(),
+        }
+    return _ARROW_NODE_FIELD_TYPES
+
+
+def make_nodes_arrow_iterator(fields=None, passthrough=("url",)):
+    """mapInArrow boundary for the relational tier: RecordBatches of pages
+    → (passthrough…, nodes array<struct<…>>) RecordBatches.
+
+    The per-batch node struct is assembled as flat Arrow child arrays +
+    one offsets vector (null offset = unparseable doc → NULL nodes row),
+    replacing the pandas_udf path where Spark converts a Series of
+    list-of-dicts row by row.  Passthrough columns are re-emitted
+    zero-copy."""
+    import pyarrow as pa
+
+    flds = list(fields) if fields else list(NODE_FIELD_TYPES)
+    types = _arrow_node_field_types()
+
+    def run(batches):
+        for rb in batches:
+            idx = rb.schema.get_field_index("html")
+            htmls = rb.column(idx).to_pylist()
+            cols: dict = {f: [] for f in flds}
+            offsets: list = [0]
+            is_null: list = []
+            total = 0
+            gc_was_enabled = gc.isenabled()
+            gc.disable()
+            try:
+                for h in htmls:
+                    try:
+                        total += append_nodes_columns(
+                            parse_arena(decode_html(h)), cols
+                        )
+                        is_null.append(False)
+                    except Exception:  # noqa: BLE001 — error-row policy
+                        is_null.append(True)
+                    offsets.append(total)
+            finally:
+                if gc_was_enabled:
+                    gc.enable()
+            child = pa.StructArray.from_arrays(
+                [pa.array(cols[f], types[f]) for f in flds], names=flds
+            )
+            nodes = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                child,
+                mask=pa.array(is_null) if any(is_null) else None,
+            )
+            arrays = [
+                rb.column(rb.schema.get_field_index(c)) for c in passthrough
+            ]
+            arrays.append(nodes)
+            yield pa.RecordBatch.from_arrays(
+                arrays, list(passthrough) + ["nodes"]
+            )
+
+    return run
+
+
 def text_spans(a: Arena):
     """(node_id-in-pre-order, src_start, src_end) for every text node."""
     out = []

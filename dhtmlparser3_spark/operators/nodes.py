@@ -38,19 +38,40 @@ def parse_nodes(
 
 
 def node_table(
-    pages: DataFrame, key_col: str = "url", fields=None
+    pages: DataFrame, key_col: str = "url", fields=None, io: str = "arrow"
 ) -> DataFrame:
     """Exploded node table: one row per DOM node per document; ``fields``
-    selects a subset of the node struct (default: all)."""
-    from dhtmlparser3_spark.functions.extract import NODE_FIELD_TYPES
+    selects a subset of the node struct (default: all).
+
+    ``io="arrow"`` (default) crosses the worker boundary with mapInArrow:
+    the node struct is assembled as flat Arrow child arrays + offsets in
+    the worker (no per-node Python dicts, no pandas→Arrow struct
+    conversion — measured ~25-40% of the outlinks/node-query wall at
+    sf0.1), and the key column is re-emitted zero-copy.  ``io="pandas"``
+    keeps the scalar-pandas_udf path (ships ONLY html to the worker);
+    both are row-identical (test_node_table_arrow_parity)."""
+    from dhtmlparser3_spark.functions.extract import (
+        NODE_FIELD_TYPES,
+        make_nodes_arrow_iterator,
+        node_schema,
+    )
 
     flds = list(fields) if fields else list(NODE_FIELD_TYPES)
+    if io == "arrow":
+        with_nodes = pages.select(key_col, "html").mapInArrow(
+            make_nodes_arrow_iterator(flds, passthrough=(key_col,)),
+            schema=f"{key_col} string, nodes {node_schema(flds)}",
+        )
+    elif io == "pandas":
+        with_nodes = parse_nodes(pages, fields=fields)
+    else:
+        raise ValueError(f"io={io!r}: expected 'arrow' or 'pandas'")
     # explode_outer + post-filter, NOT plain explode: Catalyst infers a
     # size(udf(..)) > 0 filter BELOW a non-outer Generate and evaluates the
     # parse UDF twice per document (PLANS.md §6b; pinned by
     # tests/test_plan_shapes.py::test_outlinks_plan_single_parse)
     return (
-        parse_nodes(pages, fields=fields)
+        with_nodes
         .select(key_col, F.explode_outer("nodes").alias("n"))
         .where(F.col("n").isNotNull())
         .select(key_col, *[F.col(f"n.{f}").alias(f) for f in flds])

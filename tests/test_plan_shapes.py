@@ -31,7 +31,7 @@ def _assert_udf_only_behind_cache(plan: str, min_refs: int) -> None:
     reference, but the cache evaluates once at runtime).  An Arrow node
     outside a cache — count mismatch — means the persist was dropped and
     the UDF would re-run per plan reference."""
-    n_arrow = plan.count("ArrowEvalPython")
+    n_arrow = plan.count("ArrowEvalPython") + plan.count("MapInArrow")
     n_cached = plan.count("InMemoryRelation")
     n_refs = plan.count("InMemoryTableScan")
     assert n_arrow == n_cached, plan
@@ -88,7 +88,7 @@ def test_extract_pages_plan_one_exchange_one_python_stage(spark):
         "url string, html binary",
     ).withColumn("warc_ts", F.current_timestamp()).withColumn("lang", F.lit("en"))
     plan = _plan(extract_pages(pages, parallelism=4, with_metrics=False))
-    n_python = plan.count("MapInPandas") + plan.count("PythonMapInArrow")
+    n_python = plan.count("MapInPandas") + plan.count("MapInArrow")
     assert n_python == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "hashpartitioning" in plan, plan  # the salted key, not round-robin

@@ -121,3 +121,26 @@ def test_relational_wfind_matches_reference(spark, ref, nodes):
             continue
         want = len(dom.wfind("a").wfind("b").content)
         assert got.get(f"d{i}", 0) == want, f"wfind chain on doc {i}: {d!r}"
+
+
+@pytest.mark.spark
+def test_node_table_arrow_parity(spark):
+    """node_table(io="arrow") (mapInArrow, default) vs io="pandas"
+    (scalar pandas_udf): identical rows over ALL node fields on the
+    malformed corpus + poison docs (out-of-range entity → no rows)."""
+    docs = DOCS[:80] + ["<p>x &#1114112; y</p>", ""]
+    rows = [(f"d{i}", bytearray(d.encode("utf-8"))) for i, d in enumerate(docs)]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    a = node_table(pages, io="arrow").toPandas()
+    p = node_table(pages, io="pandas").toPandas()
+    key = ["url", "node_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    p = p.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(p.columns)
+    assert len(a) == len(p)
+    for col in a.columns:
+        assert (
+            a[col].map(repr).tolist() == p[col].map(repr).tolist()
+        ), f"column {col} diverges"
+    # poison doc contributes zero node rows on both paths
+    assert f"d{len(docs) - 2}" not in set(a["url"])
