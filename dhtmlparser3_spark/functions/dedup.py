@@ -90,18 +90,50 @@ def _shingle_list(text, n: int):
     return list(dict.fromkeys(joined))  # == F.array_distinct (first-occurrence)
 
 
-def shingle_arrays(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+def shingle_arrays(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", io: str = "arrow"
+) -> DataFrame:
     """(doc_id, shs: array<string>) — per-doc DISTINCT n-token shingles.
 
-    Built MAP-SIDE by an Arrow-vectorized pandas UDF: no shuffle, no
-    token-level row explosion.  The two pure-JVM alternatives both lose at
-    scale: Catalyst higher-order lambdas (transform/sequence over arrays)
-    run interpreted (CodegenFallback) at ~20-40µs per shingle, and the
-    codegen-friendly posexplode→window(lead) formulation shuffles one row
-    PER TOKEN (5x10^14 rows at the design point).  The set-per-row output
-    is the scale workhorse: signatures, set sizes, and pairwise
-    intersections all derive from it without ever materializing the
-    quadratic (doc, shingle) table."""
+    Built MAP-SIDE: no shuffle, no token-level row explosion.  The two
+    pure-JVM alternatives both lose at scale: Catalyst higher-order
+    lambdas (transform/sequence over arrays) run interpreted
+    (CodegenFallback) at ~20-40µs per shingle, and the codegen-friendly
+    posexplode→window(lead) formulation shuffles one row PER TOKEN
+    (5x10^14 rows at the design point).  The set-per-row output is the
+    scale workhorse: signatures, set sizes, and pairwise intersections
+    all derive from it without ever materializing the quadratic
+    (doc, shingle) table.
+
+    ``io="arrow"`` (default) crosses the boundary with mapInArrow — the
+    shingle lists are assembled as one flat Arrow string array + offsets
+    per batch and the id column is re-emitted zero-copy (no pandas
+    Series-of-lists conversion on the way back).  ``io="pandas"`` keeps
+    the scalar pandas_udf; identical rows (test_shingle_arrays_arrow_parity)."""
+    if io == "arrow":
+        id_t = df.schema[id_col].dataType.simpleString()
+        src = df.select(F.col(id_col).alias("doc_id"), "text")
+
+        def run(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                texts = rb.column(1).to_pylist()
+                flat: list = []
+                offs = [0]
+                for t in texts:
+                    flat.extend(_shingle_list(t, n))
+                    offs.append(len(flat))
+                shs = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(flat, pa.string())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), shs], ["doc_id", "shs"]
+                )
+
+        return src.mapInArrow(run, schema=f"doc_id {id_t}, shs array<string>")
+    if io != "pandas":
+        raise ValueError(f"io={io!r}: expected 'arrow' or 'pandas'")
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")

@@ -94,3 +94,26 @@ def test_shingle_twin_on_edges(duck):
     for i, text in enumerate(EDGE_TEXTS):
         got = _shingle_list(text, 3)
         assert got == want.get(i, []), f"shingle mismatch on {text!r}"
+
+
+@pytest.mark.spark
+def test_shingle_arrays_arrow_parity(spark):
+    """shingle_arrays(io="arrow") (mapInArrow, default) vs io="pandas":
+    identical (doc_id, shs) rows, including empty-shingle docs and
+    whitespace-edged texts."""
+    from dhtmlparser3_spark.functions.dedup import shingle_arrays
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b"),            # < n tokens -> empty list
+        (2, ""),
+        (3, "\tx y z  w\n"),
+        (4, "a b c a b c a b c"),  # duplicate shingles -> distinct-first
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = shingle_arrays(df, n=3, io="arrow").toPandas()
+    p = shingle_arrays(df, n=3, io="pandas").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    p = p.sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == p["doc_id"].tolist()
+    assert [list(x) for x in a["shs"]] == [list(x) for x in p["shs"]]
