@@ -651,6 +651,46 @@ def udf_content_without_tags():
     return _udf_serialize("content_without_tags")
 
 
+def udf_serializations():
+    """pandas_udf: html → struct of the four secondary serializations
+    (main_text, roundtrip to_string, content_without_tags, prettify) from
+    ONE parse per document — the driver-budget consolidation of four
+    scalar queries that each re-parsed the corpus (the flagship
+    content_str keeps its own dedicated query).  Same error-row policy as
+    :func:`_udf_serialize`: a poison document yields an all-NULL struct,
+    never a task failure."""
+    from pyspark.sql.functions import pandas_udf
+
+    _none = {"main_text": None, "roundtrip": None, "no_tags": None,
+             "pretty": None}
+
+    def one(h):
+        try:
+            a = parse_arena(decode_html(h))
+            return {
+                "main_text": main_text(a),
+                "roundtrip": serialize.to_string(a),
+                "no_tags": serialize.content_without_tags(a),
+                "pretty": serialize.prettify(a),
+            }
+        except Exception:  # noqa: BLE001 — error-row at scale, never a crash
+            return dict(_none)
+
+    @pandas_udf(
+        "struct<main_text:string,roundtrip:string,no_tags:string,pretty:string>"
+    )
+    def _ser(html: pd.Series) -> pd.DataFrame:
+        gc_was = gc.isenabled()
+        gc.disable()
+        try:
+            return pd.DataFrame(list(html.map(one)), index=html.index)
+        finally:
+            if gc_was:
+                gc.enable()
+
+    return _ser
+
+
 def udf_nodes(fields=None):
     """html → flattened node array (relational tier input); ``fields``
     prunes the node struct (manual pushdown through the UDF boundary).

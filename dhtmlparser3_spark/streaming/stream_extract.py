@@ -80,11 +80,23 @@ def dedup_stream(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFr
     )
 
 
-def windowed_metrics_stream(extracted: DataFrame) -> DataFrame:
-    """Stateful side: event-time tumbling doc counts with a 1h watermark
-    (late rows beyond it are dropped from the aggregate)."""
+def windowed_metrics_stream(
+    extracted: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Stateful side: event-time tumbling doc counts behind a watermark.
+
+    Scale contract (UPDATE output mode — the 100 TB shape): the watermark
+    bounds state — windows whose end falls behind it are evicted each
+    micro-batch, and a late row arriving after its window was evicted is
+    DROPPED from the aggregate.  Both halves are driver-verified by the
+    ``stream_metrics`` query, which feeds a deterministic 3-micro-batch
+    input (base corpus → watermark-advancing future row → too-late row)
+    and whose DuckDB oracle contains the accepted probe but NOT the
+    dropped one.  Complete output mode would instead retain all window
+    state forever (the unbounded-state anti-pattern) — don't use it
+    beyond toy harnesses."""
     return (
-        extracted.withWatermark("warc_ts", "1 hour")
+        extracted.withWatermark("warc_ts", delay)
         .groupBy(F.window("warc_ts", "10 minutes"), F.col("lang"))
         .agg(
             F.count("*").alias("n_docs"),
