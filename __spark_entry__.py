@@ -2043,7 +2043,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len({_toks()}) AS BIGINT) AS n_tok
             FROM documents
             WHERE {_HASH60.format(x="'mix-' || CAST(doc_id AS VARCHAR)")} % 100
-                  < 20 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) * 7) % 60
+                  < 20 + (COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT), 0) * 7) % 60
               AND len({_toks()}) > 0
           ),
           c AS (
@@ -2066,11 +2066,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mixture_sample": f"""
           SELECT doc_id, source,
-                 CAST(20 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) * 7) % 60
+                 CAST(20 + (COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT), 0) * 7) % 60
                       AS INT) AS rate_pct
           FROM documents
           WHERE {_HASH60.format(x="'mix-' || CAST(doc_id AS VARCHAR)")} % 100
-                < 20 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) * 7) % 60
+                < 20 + (COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT), 0) * 7) % 60
         """,
         # the oracle is DuckDB's NATIVE ASOF JOIN — an independent
         # implementation of the at-or-before-match semantics, not a

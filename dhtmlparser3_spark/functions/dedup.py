@@ -158,25 +158,38 @@ def shingle_sets(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame
     )
 
 
-def _pair_jaccard(shingles: DataFrame) -> DataFrame:
+def _pair_jaccard(shingles: DataFrame, confirm_strings: bool = False) -> DataFrame:
     """Jaccard over ALL co-shingled pairs — the brute-force baseline
     (quadratic in co-shingled docs; LSH verification uses
     :func:`_verify_candidates` instead, which never goes quadratic).
-    Exact up to 64-bit hash collisions: intersections are counted on
-    xxhash64(shingle), so a colliding pair of distinct shingles would
-    inflate the count by 1 (odds ~ |shingles|^2 / 2^64 per doc pair; the
-    exact-string DuckDB oracle would flag it)."""
+
+    Collision contract: intersections are counted on xxhash64(shingle) —
+    8-byte shuffle keys, fixed-width comparisons.  A colliding pair of
+    distinct shingles inflates one doc-pair's intersection by 1; the
+    expected number of colliding shingle pairs across the whole corpus is
+    ~ |distinct shingles|^2 / 2^65 (≈ 2.7e-9 at 10^5 shingles, still only
+    ~2.7e-3 at 10^10), and the exact-string DuckDB oracle would flag any
+    hit as a red driver row.  Belt-and-braces: ``confirm_strings=True``
+    carries the shingle string through the join and adds string equality
+    to the condition — exact at any scale, at the cost of string-width
+    shuffle keys."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # join on the 64-bit shingle hash, not the string: 8-byte shuffle keys
-    # and fixed-width comparisons
-    hashed = shingles.select("doc_id", F.xxhash64("sh").alias("sh"))
+    hashed = shingles.select(
+        "doc_id", F.xxhash64("sh").alias("sh"), F.col("sh").alias("sh_str")
+    ) if confirm_strings else shingles.select(
+        "doc_id", F.xxhash64("sh").alias("sh")
+    )
     a = hashed.alias("a")
     b = hashed.alias("b")
+    cond = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if confirm_strings:
+        cond = cond & (F.col("a.sh_str") == F.col("b.sh_str"))
     inter = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            cond,
         )
         .groupBy(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
@@ -221,17 +234,23 @@ def _verify_candidates(arrays: DataFrame, candidates: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, n: int = 3, tau_pct: int = 60, id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    tau_pct: int = 60,
+    id_col: str = "doc_id",
+    confirm_strings: bool = False,
 ) -> DataFrame:
     """Brute n-gram-Jaccard near-dup pairs (the small-scale baseline and
-    the verifier for LSH); exact up to 64-bit hash collisions, see
-    :func:`_pair_jaccard`."""
+    the verifier for LSH); collision contract and the exact
+    ``confirm_strings`` variant: see :func:`_pair_jaccard`."""
     # persist: the shingle table is referenced 4x in the self-join plan
     # (sizes, hashed a, hashed b) and Spark re-evaluates an unpersisted
     # subplan per reference — at 10^12 docs the shingle pass is the whole
     # cost, so it is computed ONCE (production: write it to storage)
     sh = shingle_sets(df, n, id_col).persist()
-    return _pair_jaccard(sh).where(F.col("jacc_pct") >= tau_pct)
+    return _pair_jaccard(sh, confirm_strings).where(
+        F.col("jacc_pct") >= tau_pct
+    )
 
 
 def decontaminate(
@@ -273,6 +292,41 @@ def decontaminate(
 
 # --- MinHash + LSH ------------------------------------------------------------
 
+DEFAULT_BUCKET_CAP = 1024  # members per LSH/pigeonhole bucket (see cap_buckets)
+
+
+def cap_buckets(buckets: DataFrame, ids_col: str, cap: int, observation=None):
+    """Bound the within-bucket quadratic pair expansion.
+
+    Bucket-grouped candidate generation collects each bucket's members
+    into ONE array row; a degenerate corpus (say 10^6 identical
+    boilerplate pages hashing to one bucket) would make a single task
+    quadratic in members and OOM it.  The cap keeps the lowest ``cap``
+    members (arrays arrive sorted, so the slice is deterministic) and
+    bounds task memory at cap^2 pair structs.
+
+    No silent caps: pass a ``pyspark.sql.Observation`` to get
+    (n_overflow_buckets, n_buckets) accounting on the same pass that
+    computes the pairs.  Semantics of a drop: members beyond the cap are
+    near-identical to kept members by construction (they share the
+    bucket), and the exact-dedup stage upstream already collapses the
+    byte-identical mass that creates degenerate buckets — but the count
+    must be surfaced, not assumed zero.
+    """
+    capped = buckets.withColumn(
+        "_overflow", (F.size(ids_col) > cap).cast("int")
+    )
+    if observation is not None:
+        capped = capped.observe(
+            observation,
+            F.sum("_overflow").alias("n_overflow_buckets"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    return capped.withColumn(ids_col, F.slice(ids_col, 1, cap)).drop(
+        "_overflow"
+    )
+
+
 _P31 = 2147483647  # 2^31-1, Mersenne prime
 
 
@@ -309,12 +363,15 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    observation=None,
 ) -> DataFrame:
     """LSH candidates (32 bands × r=2 at defaults) verified by exact Jaccard.
 
     With r=2/b=32, a pair at Jaccard 0.6 is missed with prob (1-0.36)^32 ≈
     6e-7 — the verified output equals brute force in expectation, which is
-    what the DuckDB oracle asserts.
+    what the DuckDB oracle asserts.  ``bucket_cap``/``observation``: see
+    :func:`cap_buckets` (bounded task memory on degenerate corpora).
     """
     # persist: the per-doc shingle arrays feed the signature pipeline AND
     # both sides of the verification join — unpersisted, Spark re-runs the
@@ -342,10 +399,11 @@ def minhash_lsh_pairs(
     # self-join would evaluate the whole signature pipeline twice unless the
     # exchange is reused), quadratic only WITHIN a bucket — bucket size is
     # bounded by band width, so the blowup knob is explicit
-    buckets = (
+    buckets = cap_buckets(
         banded.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .where(F.size("ids") > 1),
+        "ids", bucket_cap, observation,
     )
     pairs = F.flatten(
         F.transform(
@@ -388,10 +446,16 @@ def simhash_signatures(shingles: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, n: int = 3, max_hamming: int = 3, id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k, exact recall via pigeonhole
-    chunk join (k < SIMHASH_CHUNKS required)."""
+    chunk join (k < SIMHASH_CHUNKS required).  ``bucket_cap``/
+    ``observation``: see :func:`cap_buckets`."""
     assert max_hamming < SIMHASH_CHUNKS
     sh = shingle_sets(df, n, id_col)
     sig = simhash_signatures(sh)
@@ -415,14 +479,15 @@ def simhash_pairs(
     )
     # bucket-group instead of self-join: one evaluation of the signature
     # pipeline, quadratic only within a (chunk, value) bucket
-    buckets = (
+    buckets = cap_buckets(
         banded.groupBy("c", "v")
         .agg(
             F.array_sort(
                 F.collect_set(F.struct("doc_id", "simhash"))
             ).alias("members")
         )
-        .where(F.size("members") > 1)
+        .where(F.size("members") > 1),
+        "members", bucket_cap, observation,
     )
     pairs = F.flatten(
         F.transform(

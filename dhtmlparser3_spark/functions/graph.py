@@ -74,9 +74,14 @@ def connected_components(
     """(node, comp) for every node appearing in ``pairs``; ``comp`` is the
     minimum node id of the connected component.
 
-    One bounded driver action per round for the convergence test; edges are
-    persisted per round and the previous round unpersisted (at 10^12-doc
-    scale: checkpoint every few rounds to truncate lineage).
+    One bounded driver action per round for the convergence test.  Each
+    round's localCheckpoint pins its blocks until the previous round's
+    DataFrame goes out of scope and the ContextCleaner reclaims them
+    (GC-driven — PySpark exposes no handle to unpersist a localCheckpoint
+    eagerly); with O(log n) rounds and edge-list-only rows the pinned
+    footprint is bounded, and a 10^12-doc run should use reliable
+    checkpoint() to object storage instead, which both truncates lineage
+    and survives executor loss.
     """
     # Iterative jobs MUST truncate lineage each round: an unbroken chain of
     # K rounds re-analyzes a plan that doubles per round (union + self-join)

@@ -40,8 +40,17 @@ def outlinks(pages: DataFrame) -> DataFrame:
     The node table is projected to the two node kinds the query touches
     and PERSISTED before the a-tag/text self-join: Spark re-evaluates an
     unpersisted subplan once per plan reference, and this plan references
-    the UDF output twice (PLANS.md §6b — at production scale, materialize
-    the node table to storage once and run every DOM query against it).
+    the UDF output twice (PLANS.md §6b).  The cache lives until the
+    session's ContextCleaner reclaims it — callers own cleanup (the
+    returned plan references it lazily, so this function cannot
+    unpersist); at production scale, materialize the node table to
+    storage once and run every DOM query against it instead.
+
+    Anchor text is gathered from DIRECT text children of the <a> node
+    only — nested markup (``<a><b>text</b></a>``) yields an empty anchor.
+    Correct for the generated corpus and its closed-form oracle; real
+    pages want the subtree_end interval-containment join (operators/
+    nodes.descendant_join) to gather descendant text.
     """
     nt = (
         node_table(
@@ -103,13 +112,21 @@ def pagerank(edges: DataFrame, iters: int = 5, damp_pct: int = 85) -> DataFrame:
       per_link(u) = rank(u) div outdeg_links(u)
       rank'(v)    = ((100-damp) * base + damp * Σ per_link(u)·n_e) div 100
     """
-    nodes = (
-        edges.select(F.col("src").alias("host"))
+    # the host set is collected to a LOCAL relation: a host-level graph is
+    # small by construction (we already pay a driver scalar for n_hosts),
+    # and a local relation broadcasts into every per-iteration join without
+    # pinning session-lifetime cache blocks (the round-2 persist() here
+    # leaked one cached copy per calling query)
+    spark = edges.sparkSession
+    hosts = sorted(
+        r[0]
+        for r in edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
+        .collect()
     )
-    n_hosts = nodes.count()  # bounded driver scalar (host-level graph)
+    nodes = spark.createDataFrame([(h,) for h in hosts], "host string")
+    n_hosts = len(hosts)
     base = PR_SCALE // n_hosts
     deg = edges.groupBy("src").agg(F.sum("n_links").alias("outdeg"))
     ranks = nodes.select("host", F.lit(base).cast("long").alias("rank"))

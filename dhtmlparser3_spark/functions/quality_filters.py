@@ -183,7 +183,14 @@ def mixture_sample(
     """
     from dhtmlparser3_spark.functions.textops import hash60_col
 
-    suffix = F.regexp_extract(F.col(group_col), r"(\d+)$", 1).cast("int")
+    # a source with no trailing digits contributes suffix 0 (keep rate =
+    # base_pct) in BOTH engines: regexp_extract yields '' on no-match and
+    # ''::INT is NULL in Spark but an error in DuckDB — coalesce makes the
+    # miss behave identically instead of silently dropping the source
+    suffix = F.coalesce(
+        F.regexp_extract(F.col(group_col), r"(\d+)$", 1).cast("int"),
+        F.lit(0),
+    )
     rate = F.lit(base_pct) + (suffix * 7) % 60
     bucket = F.pmod(
         hash60_col(F.concat(F.lit("mix-"), F.col(id_col).cast("string"))),

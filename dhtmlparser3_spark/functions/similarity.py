@@ -156,6 +156,8 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 24,
+    bucket_cap: int = None,
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — the SHIPPED operator: LSH-bucketed
     candidate generation + exact-cosine verification.
@@ -176,7 +178,14 @@ def embedding_dup_pairs(
     threshold boundary, so the table count must carry the margin.  The
     driver's DuckDB oracle IS the brute result, so any miss turns the
     correctness row red — recall is continuously audited, not assumed.
+    ``bucket_cap``/``observation``: see dedup.cap_buckets (bounded task
+    memory on degenerate corpora).
     """
+    from dhtmlparser3_spark.functions.dedup import (
+        DEFAULT_BUCKET_CAP,
+        cap_buckets,
+    )
+
     corpus = embedding_dup_corpus(emb, id_col, vec_col)
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes * n_tables, dim)
@@ -185,10 +194,11 @@ def embedding_dup_pairs(
         "vec_id",
         F.posexplode_outer(buckets(F.col("embedding"))).alias("t", "b"),
     ).where(F.col("b").isNotNull())
-    grouped = (
+    grouped = cap_buckets(
         banded.groupBy("t", "b")
         .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .where(F.size("ids") > 1),
+        "ids", bucket_cap or DEFAULT_BUCKET_CAP, observation,
     )
     pairs = F.flatten(
         F.transform(

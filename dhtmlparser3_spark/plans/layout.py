@@ -48,30 +48,40 @@ def _scan_split_estimate(df: DataFrame) -> int:
 
 
 def has_parallelism(df: DataFrame, threshold: int) -> bool:
-    """Does ``df``'s layout provide at least ``threshold`` partitions?
+    """Does ``df``'s file layout provide at least ``threshold`` scan
+    splits?  Pure metadata (file sizes vs maxPartitionBytes) — no
+    plan-to-RDD conversion: ``df.rdd.getNumPartitions()`` would convert
+    the logical plan per call and sidestep AQE statistics, so callers
+    that cannot answer from file metadata should just repartition (the
+    extra shuffle moves only narrow pre-expansion rows and is a no-op in
+    cost next to the expression-heavy stage being protected)."""
+    return _scan_split_estimate(df) >= threshold
 
-    Fast path: if the file-scan split estimate alone reaches the threshold
-    (the normal 100 TB case — many well-sized parquet files), answer yes
-    with zero plan work.  Otherwise fall back to an exact
-    ``df.rdd.getNumPartitions()`` probe — a plan-to-RDD conversion, paid
-    only when the scan is small/absent (e.g. a mid-plan repartition that
-    the file estimate cannot see).
-    """
-    if _scan_split_estimate(df) >= threshold:
-        return True
-    return df.rdd.getNumPartitions() >= threshold
+
+def _plan_has_repartition(df: DataFrame) -> bool:
+    """Does the ANALYZED plan already contain a repartition?  A plan-text
+    probe (no execution, no plan-to-RDD conversion) that keeps spread()
+    idempotent — the file-split estimate cannot see a mid-plan
+    repartition."""
+    try:
+        return "Repartition" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — e.g. connect-only sessions
+        return False
 
 
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
-    """Round-robin repartition to ``factor x defaultParallelism`` iff the
-    current layout has fewer partitions than the cluster has cores.
+    """Round-robin repartition to ``factor x defaultParallelism`` unless
+    the file-scan split estimate already reaches the cluster's
+    parallelism or the plan already repartitions.
 
-    A no-op on well-split inputs (real Iceberg/parquet tables at scale), so
-    it is safe to apply unconditionally before expression-heavy stages; the
-    shuffle it may introduce moves only the narrow pre-expansion rows.
+    A no-op on well-split inputs (real Iceberg/parquet tables at scale),
+    so it is safe to apply unconditionally before expression-heavy
+    stages; both probes are pure metadata — the exact-but-expensive
+    ``df.rdd.getNumPartitions()`` conversion (which also sidesteps AQE
+    statistics) is never paid.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if has_parallelism(df, sc.defaultParallelism):
+    if has_parallelism(df, sc.defaultParallelism) or _plan_has_repartition(df):
         return df
     return df.repartition(target)

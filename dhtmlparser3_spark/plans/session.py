@@ -14,6 +14,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str:
+    """Shuffle scratch dir: /dev/shm when present AND comfortably sized
+    (≥8 GiB free — hosts with a small tmpfs would fail mid-shuffle where
+    disk-backed /tmp worked), else the system tmp.  SPARK_GRAFT_LOCAL_DIR
+    always wins."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 8 << 30:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "spark-local")
+
+
 def get_spark(
     app_name: str = "dhtmlparser3-spark",
     cpus: int | None = None,
@@ -56,10 +75,7 @@ def get_spark(
         # exactly this reason; /dev/shm is the single-box equivalent.  Our
         # shuffles are ≤2 GB so RAM-disk residency is safe; override with
         # SPARK_GRAFT_LOCAL_DIR for disk-backed runs.
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-        )
+        .config("spark.local.dir", _default_local_dir())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

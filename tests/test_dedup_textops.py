@@ -117,3 +117,51 @@ def test_shingle_arrays_arrow_parity(spark):
     p = p.sort_values("doc_id").reset_index(drop=True)
     assert a["doc_id"].tolist() == p["doc_id"].tolist()
     assert [list(x) for x in a["shs"]] == [list(x) for x in p["shs"]]
+
+
+@pytest.mark.spark
+def test_bucket_cap_bounds_degenerate_corpus(spark):
+    """A degenerate corpus (every doc near-identical → one LSH bucket)
+    must not expand an unbounded quadratic pair array: cap_buckets keeps
+    the lowest ``cap`` members and reports overflow accounting on the
+    same pass (no silent caps)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from dhtmlparser3_spark.functions.dedup import minhash_lsh_pairs
+
+    n_docs, cap = 40, 8
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        # identical token stream per doc → identical shingles → every
+        # band hashes every doc into the same bucket
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    obs = Observation("lsh_cap")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, tau_pct=60, bucket_cap=cap, observation=obs
+    ).collect()
+    got_ids = {r.a_id for r in pairs} | {r.b_id for r in pairs}
+    # bounded: only the cap lowest doc_ids can pair up
+    assert got_ids == set(range(cap))
+    assert len(pairs) == cap * (cap - 1) // 2
+    metrics = obs.get
+    assert metrics["n_overflow_buckets"] > 0, metrics
+    assert metrics["n_buckets"] >= metrics["n_overflow_buckets"]
+
+
+@pytest.mark.spark
+def test_bucket_cap_inactive_below_cap(spark, duck):
+    """With the default cap the sf0.001 dedup-corpus LSH output is
+    byte-identical to the uncapped brute oracle (the cap must never fire
+    on healthy buckets — asserted via the overflow accounting)."""
+    from pyspark.sql import Observation
+
+    from dhtmlparser3_spark.functions.dedup import dedup_corpus, minhash_lsh_pairs
+
+    obs = Observation("lsh_nocap")
+    corpus = dedup_corpus(spark, "/root/testdata/sf0.001")
+    pairs = minhash_lsh_pairs(corpus, n=3, tau_pct=60, observation=obs)
+    n = pairs.count()
+    assert n > 0
+    assert obs.get["n_overflow_buckets"] == 0, obs.get
