@@ -854,15 +854,19 @@ def _q_jaccard_pairs(spark, sf_dir):
         dedup_corpus,
         jaccard_pairs,
         minhash_lsh_pairs,
+        shingle_arrays,
     )
 
     corpus = dedup_corpus(spark, sf_dir)
-    brute = jaccard_pairs(corpus, n=3, tau_pct=60).withColumn(
+    # ONE shingle pass feeds both methods (each would otherwise persist
+    # its own copy of the same UDF output)
+    arrays = shingle_arrays(corpus, n=3).persist()
+    brute = jaccard_pairs(corpus, n=3, tau_pct=60, arrays=arrays).withColumn(
         "method", F.lit("brute")
     )
-    lsh = minhash_lsh_pairs(corpus, n=3, tau_pct=60).withColumn(
-        "method", F.lit("lsh")
-    )
+    lsh = minhash_lsh_pairs(
+        corpus, n=3, tau_pct=60, arrays=arrays
+    ).withColumn("method", F.lit("lsh"))
     return brute.unionByName(lsh)
 
 

@@ -239,15 +239,25 @@ def jaccard_pairs(
     tau_pct: int = 60,
     id_col: str = "doc_id",
     confirm_strings: bool = False,
+    arrays: DataFrame = None,
 ) -> DataFrame:
     """Brute n-gram-Jaccard near-dup pairs (the small-scale baseline and
     the verifier for LSH); collision contract and the exact
-    ``confirm_strings`` variant: see :func:`_pair_jaccard`."""
+    ``confirm_strings`` variant: see :func:`_pair_jaccard`.
+
+    ``arrays``: an already-persisted (doc_id, shs) shingle table to reuse
+    (the driver's jaccard_pairs row runs brute AND LSH over the same
+    corpus — sharing the table halves the shingle UDF passes)."""
     # persist: the shingle table is referenced 4x in the self-join plan
     # (sizes, hashed a, hashed b) and Spark re-evaluates an unpersisted
     # subplan per reference — at 10^12 docs the shingle pass is the whole
     # cost, so it is computed ONCE (production: write it to storage)
-    sh = shingle_sets(df, n, id_col).persist()
+    if arrays is None:
+        sh = shingle_sets(df, n, id_col).persist()
+    else:
+        sh = arrays.select(
+            "doc_id", F.explode_outer("shs").alias("sh")
+        ).where(F.col("sh").isNotNull())
     return _pair_jaccard(sh, confirm_strings).where(
         F.col("jacc_pct") >= tau_pct
     )
@@ -365,6 +375,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bucket_cap: int = DEFAULT_BUCKET_CAP,
     observation=None,
+    arrays: DataFrame = None,
 ) -> DataFrame:
     """LSH candidates (32 bands × r=2 at defaults) verified by exact Jaccard.
 
@@ -376,8 +387,10 @@ def minhash_lsh_pairs(
     # persist: the per-doc shingle arrays feed the signature pipeline AND
     # both sides of the verification join — unpersisted, Spark re-runs the
     # shingle UDF once per plan reference (measured 9 ArrowEvalPython nodes
-    # in the unpersisted plan vs 1 evaluation persisted)
-    arrays = shingle_arrays(df, n, id_col).persist()
+    # in the unpersisted plan vs 1 evaluation persisted).  A caller-shared
+    # ``arrays`` table must already be persisted.
+    if arrays is None:
+        arrays = shingle_arrays(df, n, id_col).persist()
     sh = arrays.select(
         "doc_id", F.explode_outer("shs").alias("sh")
     ).where(F.col("sh").isNotNull())

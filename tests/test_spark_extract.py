@@ -216,3 +216,38 @@ def test_extract_arrow_parity_with_pandas_path(spark):
     errs = dict(zip(pda["url"], pda["error"]))
     assert errs["poison://entity"] is not None
     assert errs["poison://empty"] is None
+
+
+@pytest.mark.spark
+def test_auto_repartition_parity(spark, tmp_path):
+    """repartition="auto" resolves to salted on a single-split scan and to
+    none on a well-split scan — pinned via the presence/absence of the
+    salted xxhash64(url, salt) exchange in the optimized plan."""
+    from pyspark.sql import functions as F
+
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+    from dhtmlparser3_spark.sources.pages import build_pages
+
+    wide_path = str(tmp_path / "pages_wide")
+    build_pages(spark, SF).repartition(64).write.parquet(wide_path)
+    wide = spark.read.parquet(wide_path)
+    narrow = build_pages(spark, SF)  # single parquet file underneath
+
+    def salted_exchange(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return "xxhash64(url" in plan
+
+    assert salted_exchange(
+        extract_pages(narrow, parallelism=8, repartition="auto",
+                      with_metrics=False)
+    ), "single-split input must resolve auto -> salted"
+    assert not salted_exchange(
+        extract_pages(wide, parallelism=8, repartition="auto",
+                      with_metrics=False)
+    ), "well-split input must resolve auto -> none"
+    # and both agree with the explicit modes row-for-row
+    a = extract_pages(narrow, parallelism=8, repartition="salted",
+                      with_metrics=False).select("url").count()
+    b = extract_pages(narrow, parallelism=8, repartition="auto",
+                      with_metrics=False).select("url").count()
+    assert a == b

@@ -69,3 +69,84 @@ def test_windowed_metrics_stream_plan(spark, pages_dir):
     # warc_ts spans 500s → a handful of 10-minute windows; append mode emits
     # only watermark-closed windows, so just require the query ran clean
     assert q.lastProgress is not None
+
+
+@pytest.mark.spark
+def test_stream_dedup_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicates state is watermark-bounded: a duplicate arriving
+    within the watermark is suppressed; a row arriving BEHIND the
+    watermark is dropped outright (never emitted) and the state metric
+    shows eviction — the two-batch late-row pin for the 100 TB state
+    bound."""
+    import glob
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+
+    def write_one(df, name, mtime):
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(inp, name)
+        os.replace(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def row(url, text, secs):
+        return spark.range(1).select(
+            F.lit(url).alias("url"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' "
+                f"+ make_interval(0,0,0,0,0,0, {secs})"
+            ).alias("warc_ts"),
+            F.encode(F.lit("<p>x</p>"), "utf-8").alias("html"),
+            F.lit(text).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit(0).cast("long").alias("doc_id"),
+        )
+
+    import time as _time
+
+    t0 = _time.time() - 1000
+    # batch 1: two distinct digests at t=0s and t=7200s (watermark after
+    # this batch = 7200s - 1h = 3600s)
+    write_one(
+        row("u1", "alpha", 0).unionByName(row("u2", "beta", 7200)),
+        "b1.parquet", t0,
+    )
+    # batch 2 (spacer): advances nothing new, propagates the watermark
+    write_one(row("u3", "gamma", 7300), "b2.parquet", t0 + 100)
+    # batch 3: a dup of beta within the watermark (dropped as duplicate)
+    # and a LATE novel digest at t=30s < watermark (dropped as late)
+    write_one(
+        row("u4?dup", "beta", 7250).unionByName(row("u5", "late-novel", 30)),
+        "b3.parquet", t0 + 200,
+    )
+
+    stream = (
+        spark.readStream.schema(se.PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        se.dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.text for r in spark.table(name).select("text").collect()}
+    # beta dup suppressed (stateful dedup), late-novel dropped (watermark)
+    assert got == {"alpha", "beta", "gamma"}, got
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for pr in q.recentProgress
+        for s in pr.get("stateOperators", [])
+    )
+    assert dropped >= 1, [pr.get("stateOperators") for pr in q.recentProgress]
