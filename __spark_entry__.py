@@ -450,6 +450,26 @@ PROBE_HTML = "<p>late probe</p>"  # content_str == "late probe" (root unwrap)
 PROBE_TEXT = "late probe"
 
 
+class _state_partitions:
+    """Temporarily bound spark.sql.shuffle.partitions for a streaming
+    query: the stateful exchange bakes the shuffle-partition count into
+    the checkpoint as its state-store count, and 32 state partitions x N
+    micro-batches of store-init overhead dominate these tiny-cardinality
+    sandbox demos (measured: stream_metrics 12.3 s -> ~5 s at 4).  At
+    ingest scale you SIZE this to volume instead; the conf is restored
+    immediately after the stream finishes."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _ensure_stream_input(path: str, build) -> str:
     """Build a streaming input directory once and reuse it across reps —
     the per-run tempdir rebuild was the dominant cost of every streaming
@@ -493,23 +513,25 @@ def _copy_single_file(df, dest_dir: str, name: str, mtime: float) -> None:
 def _q_stream_metrics(spark, sf_dir):
     """Stateful streaming aggregation with a WORKING watermark demo:
     event-time tumbling 10-min windows per lang in APPEND output mode
-    (windowed_metrics_stream) over a deterministic 4-micro-batch input
-    (maxFilesPerTrigger=1 — one file per trigger, ordered by mtime):
+    (windowed_metrics_stream) over a deterministic 3-micro-batch input
+    (maxFilesPerTrigger=2, file mtimes define batch order):
 
-    * batch 1: the full pages corpus (one file),
-    * batch 2: one 'xx'-lang probe row 30 min PAST the corpus max event
-      time — counted, and advances the watermark past every base window,
-    * batch 3: one 'zz'-lang flush probe 2 h out — by the trailing
-      no-data batch its watermark passes the 'xx' window and emits it,
-      while the flush row's own window stays behind the final watermark
-      and never appears,
-    * batch 4: one 'yy'-lang probe row back at 00:00:30 — its window end
-      is behind the fully-propagated watermark, so append-mode
-      aggregation MUST drop the row (measured: batch metric
-      numRowsDroppedByWatermark = 1; the watermark used for the data
-      filter lags one batch behind the max-event that produced it, hence
-      the spacer batch; update mode would not drop at all — a late row
-      whose state was evicted silently re-opens the window there).
+    * batch 1: the pages corpus PLUS one 'xx'-lang probe row 30 min past
+      the corpus max event time — counted, and advances the watermark
+      past every base window (in-batch order is irrelevant; the
+      watermark updates between batches),
+    * batch 2: a PAIR of 'zz'-lang flush probes 2 h out — by the
+      trailing no-data batch their watermark passes the 'xx' window and
+      emits it, while the flush rows' own window stays behind the final
+      watermark and never appears,
+    * batch 3: one 'yy'-lang probe row back at 00:00:30 — its window end
+      is behind the now-operative watermark, so append-mode aggregation
+      MUST drop the row (measured: numRowsDroppedByWatermark = 1; the
+      data filter's operative watermark lags TWO batches behind the
+      max-event that produced it — measured, see the flush-pair comment
+      in the builder — hence late arrives exactly two batches after the
+      advance; update mode would not drop at all — a late row whose
+      state was evicted silently re-opens the window there).
 
     Append emits each finalized window exactly once (bounded state — the
     100 TB shape; the round-2 version ran complete mode, which retains
@@ -552,9 +574,23 @@ def _q_stream_metrics(spark, sf_dir):
                 F.lit(-1).cast("long").alias("doc_id"),
             )
 
+        # the future probe shares batch 1 with the base corpus (watermark
+        # updates BETWEEN batches, so in-batch order is irrelevant and the
+        # merged batch saves one micro-batch of state-store overhead)
         _copy_single_file(
             probe("probe://future", "xx", int(max_id) + 1800),
-            path, "probe-future.parquet", t0 + 100,
+            path, "probe-future.parquet", t0,
+        )
+        # flush PAIR: maxFilesPerTrigger caps files per trigger but does
+        # not split on mtime groups, so the second flush row pads batch 2
+        # to exactly the trigger width — the late row then lands alone in
+        # batch 3, two batches after the watermark-advancing probe (the
+        # data filter's operative watermark lags the max-event that
+        # produced it by two batches; measured in the 3-file layout where
+        # a nominally-late row was still accepted)
+        _copy_single_file(
+            probe("probe://flush2", "zz", int(max_id) + 7201),
+            path, "probe-flush2.parquet", t0 + 100,
         )
         _copy_single_file(
             probe("probe://flush", "zz", int(max_id) + 7200),
@@ -565,22 +601,23 @@ def _q_stream_metrics(spark, sf_dir):
             path, "probe-late.parquet", t0 + 300,
         )
 
-    inp = _ensure_stream_input(_stream_cache_dir(sf_dir, "wm4"), build)
+    inp = _ensure_stream_input(_stream_cache_dir(sf_dir, "wm6"), build)
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(inp)
     )
     wm = windowed_metrics_stream(extract_stream(stream), delay="10 minutes")
     name = f"wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        wm.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 4):
+        q = (
+            wm.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("window.start").alias("win_start"),
         F.col("window.end").alias("win_end"),
@@ -764,15 +801,16 @@ def _q_stream_dedup(spark, sf_dir):
     inp = _ensure_stream_input(_stream_cache_dir(sf_dir, "dd"), build) + "/in"
     base = tempfile.mkdtemp(prefix="spark_graft_streamdd_")
     outp, ck = f"{base}/out", f"{base}/ck"
-    q = (
-        dedup_stream(read_pages_stream(spark, inp))
-        .writeStream.format("parquet")
-        .option("path", outp)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 4):
+        q = (
+            dedup_stream(read_pages_stream(spark, inp))
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.read.parquet(outp)
     return out.agg(
         F.count("*").alias("n_unique"),
