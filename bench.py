@@ -484,6 +484,19 @@ def main():
             one_width(f"x{extra}", 16, runs_override=2, mp=mp)
         eff_4_16 = (runs[4]["secs"] / runs[16]["secs"]) / 4
         eff_8_32 = (runs[8]["secs"] / runs[32]["secs"]) / 4
+        # PAIRED per-pass efficiency: the k-th 4-core sample and the k-th
+        # 16-core sample ran back-to-back in the same VM window (base and
+        # extension passes both interleave the pair), so their ratio
+        # controls for the VM's multi-minute throughput drift the same way
+        # spark_vs_ceiling does.  min-of-mins stays the headline number —
+        # paired samples are reported because the min-of-mins ratio mixes
+        # windows (a once-a-day fast 4-core window against a median
+        # 16-core one UNDERSTATES scaling; the converse overstates it),
+        # and the paired distribution shows which happened.
+        paired = [
+            round((a["secs"] / b["secs"]) / 4, 3)
+            for a, b in zip(samples.get(4, []), samples.get(16, []))
+        ]
         hw_4_16 = (runs[4]["mp_secs"] / runs[16]["mp_secs"]) / 4
         hw_8_32 = (runs[8]["mp_secs"] / runs[32]["mp_secs"]) / 4
         result["scaling"] = {
@@ -508,6 +521,11 @@ def main():
                 str(c): round(r["mp_secs"] / r["secs"], 3) for c, r in runs.items()
             },
             "efficiency_4_to_16": round(eff_4_16, 3),
+            "paired_efficiency_4_to_16": {
+                "samples": paired,
+                "best": max(paired) if paired else None,
+                "median": sorted(paired)[len(paired) // 2] if paired else None,
+            },
             "efficiency_8_to_32_smt": round(eff_8_32, 3),
             "hw_ceiling_efficiency_4_to_16": round(hw_4_16, 3),
             "hw_ceiling_efficiency_8_to_32_smt": round(hw_8_32, 3),
@@ -584,7 +602,13 @@ def _write_bench_md(result: dict, mult: int) -> None:
             lines.append(
                 f"| {c} | {s} | {sc['pinned_docs_per_sec'][c]} | {smp} |"
             )
+        pe = sc.get("paired_efficiency_4_to_16") or {}
         lines += [
+            "",
+            f"Paired same-window 4→16 samples (each 4-core run ratioed against",
+            f"the 16-core run of its own interleaved pass — controls for VM",
+            f"drift): {pe.get('samples')} → best {pe.get('best')}, median",
+            f"{pe.get('median')}.",
             "",
             f"**Raw efficiency 4→16 cores (N→4N): {sc['efficiency_4_to_16']}**;",
             f"the pure-python zero-framework ceiling itself scales at only",
