@@ -325,6 +325,15 @@ def bench_queries(cpus: int, sf_dir: str, reps: int = 2):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "_prebuild":
+        sf_dir, mult, cpus = sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+        from dhtmlparser3_spark.plans.session import get_spark as _gs
+
+        _sp = _gs(app_name="bench-prebuild", cpus=cpus)
+        print(_ensure_pages(_sp, sf_dir, mult))
+        _sp.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "_extract":
         cores, sf_dir, mult = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
         runs = int(sys.argv[5]) if len(sys.argv) > 5 else 3
@@ -388,12 +397,27 @@ def main():
         # runs; the per-job fixed floor is amortized by min-of-passes
         smult = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "200"))
         sruns = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
-        # pre-build the scaling corpus with all cores before pinning
-        from dhtmlparser3_spark.plans.session import get_spark as _gs
-
-        _sp = _gs(app_name="bench-prebuild", cpus=cpus)
-        _ensure_pages(_sp, sf_dir, smult)
-        _sp.stop()
+        # pre-build the scaling corpus with all cores before pinning.
+        # In a SUBPROCESS that exits: SparkSession.stop() in-process leaves
+        # the py4j gateway JVM alive for the rest of the run (observed: an
+        # idle 8 GiB-heap "bench-prebuild" JVM at ~3.5% CPU alongside every
+        # pinned sample, and a 16-core run where Spark sat at 0.61 of the
+        # mp ceiling while past runs tracked it at ~0.79).  Skipped without
+        # any JVM when the corpus is already materialized.
+        if not os.path.exists(
+            os.path.join(_pages_path(sf_dir, smult), "_SUCCESS")
+        ):
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "_prebuild",
+                    sf_dir,
+                    str(smult),
+                    str(cpus),
+                ],
+                check=True,
+            )
         # soft wall budget: a full 3-pass scaling sweep is ~20 min on this
         # VM; if the harness is running us under a timeout, dropping later
         # passes (min over fewer interleaves) beats losing the whole JSON
@@ -559,7 +583,13 @@ def main():
         result["queries"] = {}
 
     print(json.dumps(result), flush=True)
-    _write_bench_md(result, mult)
+    # BENCH.md is the artifact of record — only FULL runs (query sweep on)
+    # rewrite it; scaling-only diagnostic hunts would otherwise clobber the
+    # headline/query table with a partial (often throttled-window) run.
+    # Override: SPARK_GRAFT_WRITE_MD=1/0.
+    default_md = "1" if os.environ.get("SPARK_GRAFT_QUERIES", "1") != "0" else "0"
+    if os.environ.get("SPARK_GRAFT_WRITE_MD", default_md) != "0":
+        _write_bench_md(result, mult)
 
 
 def _write_bench_md(result: dict, mult: int) -> None:
