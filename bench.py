@@ -319,6 +319,17 @@ def bench_queries(cpus: int, sf_dir: str, reps: int = 2):
                     runs += 1  # one noise-floor extension, once
             out[name] = round(best, 3)
             log(f"  query {name}: {out[name]}s ({n} rows)")
+            # Isolation between queries: several operators persist()
+            # intermediates they cannot unpersist (the DataFrame is
+            # returned lazily). Across a 50-query × 2-3-rep sweep those
+            # blocks accumulate until the storage pool evicts the CURRENT
+            # query's cache between its own reps — measured: the
+            # jaccard_pairs min read 15.2 s in a full sweep vs 6.0 s
+            # standalone (cold 18.7 s; its shared shingle cache was being
+            # evicted). Clearing after each query keeps intra-query rep
+            # reuse (same min semantics as r1/r2) without cross-query
+            # interference.
+            spark.catalog.clearCache()
     finally:
         spark.stop()
     return out
@@ -441,6 +452,11 @@ def main():
                     "mp_secs": None
                     if math.isnan(r["mp_secs"])
                     else round(r["mp_secs"], 3),
+                    # seconds since scaling started — makes the VM's
+                    # multi-minute throughput windows visible in the
+                    # artifact (which 4-core sample is same-window with
+                    # which 16-core sample)
+                    "t_rel": round(time.time() - t_start, 1),
                 }
             )
             prev = runs.get(cores)
