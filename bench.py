@@ -692,6 +692,9 @@ def _write_bench_md(result: dict, mult: int) -> None:
             "days when the pure-python hardware ceiling itself scales < 0.8 "
             "from 4→16 cores and no job can meet the raw gate) is kept in "
             "`bench_history/` — nothing is discarded",
+            "- this file reflects ONE run's windows; `bench_history/README.md` "
+            "carries the cross-run distribution and the current gate record "
+            "(BASELINE.md narrates it)",
         ]
     sc = result.get("scaling")
     if sc:

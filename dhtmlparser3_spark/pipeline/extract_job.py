@@ -90,6 +90,12 @@ def extract_pages(
       splitting by bytes already balances CPU-per-task (cost ~ html
       bytes), and shuffling 100 TB of raw html once through the cluster
       fabric is the single most expensive thing the job could do.
+      Size ``spark.sql.files.maxPartitionBytes`` so splits tile the
+      cluster (~2 even waves): measured interleaved A/B (bench_history
+      2026-08-18), untiled "none" lost 25% at 4 cores to a 1.25-wave
+      straggler wave, while tiled "none" beat salted at every width ≥ 8
+      cores (the shuffle's fixed stage barrier costs 12-26% of a short
+      16-core run).
     * ``"auto"``: ``"none"`` when the scan already yields ≥ 2 splits per
       core (balanced-by-construction), else ``"salted"``.
     """
