@@ -473,23 +473,47 @@ class _state_partitions:
 def _ensure_stream_input(path: str, build) -> str:
     """Build a streaming input directory once and reuse it across reps —
     the per-run tempdir rebuild was the dominant cost of every streaming
-    driver query (17.7 s stream_metrics, mostly input construction)."""
+    driver query (17.7 s stream_metrics, mostly input construction).
+
+    Concurrency-safe: the directory is built under a unique temp name and
+    atomically rename(2)d into place, so a bench run and a verify run
+    racing on the same key either publish identical content or one loses
+    the race and reuses the winner's directory — a reader's open stream
+    is never rmtree'd mid-batch."""
     import os
+    import shutil
+    import tempfile
 
-    marker = os.path.join(path, "_READY")
-    if not os.path.exists(marker):
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
-        os.makedirs(path, exist_ok=True)
-        build(path)
-        open(marker, "w").close()
+    if os.path.isdir(path):
+        return path
+    parent = os.path.dirname(path)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="_building_", dir=parent)
+    build(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
     return path
 
 
 def _stream_cache_dir(sf_dir: str, tag: str) -> str:
+    """Cache key carries a CONTENT fingerprint of the source corpus (abs
+    path + documents.parquet size/mtime), so regenerating the testdata —
+    or two corpora sharing a basename — can never replay a stale cached
+    stream input against a fresh DuckDB oracle."""
+    import hashlib
+    import os
+
     sfname = sf_dir.rstrip("/").split("/")[-1]
-    return f"/tmp/spark_graft_stream_inputs/{tag}_{sfname}"
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        sig = os.path.abspath(sf_dir)
+    fp = hashlib.md5(sig.encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_stream_inputs/{tag}_{sfname}_{fp}"
 
 
 def _copy_single_file(df, dest_dir: str, name: str, mtime: float) -> None:

@@ -98,28 +98,14 @@ def _run_extract(cpus: int, sf_dir: str, multiplier: int, runs: int = 3):
     # shuffle scratch lives on tmpfs (plans/session.py): lz4 on a RAM disk
     # is pure CPU overhead for this ≤2 GB shuffle, so skip it for the
     # extract job.  The library default stays ON — general queries with
-    # larger shuffles still want the memory-footprint reduction.
-    if "/dev/shm" in os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm"):
+    # larger shuffles still want the memory-footprint reduction.  Decide
+    # from the dir the session will ACTUALLY use (_default_local_dir falls
+    # back to disk-backed tmp when /dev/shm is absent or small — there
+    # compression must stay on).
+    from dhtmlparser3_spark.plans.session import _default_local_dir
+
+    if "/dev/shm" in _default_local_dir():
         extra["spark.shuffle.compress"] = "false"
-    # SPARK_GRAFT_TILE=1: size scan splits to tile the core count (2 waves
-    # of even tasks) instead of the static 64m default.  With
-    # repartition="none" the UDF runs directly on scan splits, so split
-    # count IS the task layout; the default sizing gave this corpus ~5
-    # splits at 4 cores (1.25 waves -> one straggler wave = +30% wall).
-    # This is the standard production knob (files.maxPartitionBytes ~
-    # bytes-per-core), applied per width exactly as a cluster job would.
-    if os.environ.get("SPARK_GRAFT_TILE", "0") == "1":
-        pages_dir = _pages_path(sf_dir, multiplier)
-        if os.path.isdir(pages_dir):
-            fs = [
-                os.path.join(pages_dir, f)
-                for f in os.listdir(pages_dir)
-                if f.startswith("part-")
-            ]
-            open_cost = 4 << 20
-            total_eff = sum(os.path.getsize(f) for f in fs) + open_cost * len(fs)
-            tile = max(open_cost, total_eff // (2 * cpus) + 1)
-            extra["spark.sql.files.maxPartitionBytes"] = str(tile)
     spark = get_spark(
         app_name=f"bench-extract-{cpus}",
         cpus=cpus,
@@ -128,6 +114,26 @@ def _run_extract(cpus: int, sf_dir: str, multiplier: int, runs: int = 3):
     )
     try:
         path = _ensure_pages(spark, sf_dir, multiplier)
+        # SPARK_GRAFT_TILE=1: size scan splits to tile the core count (2
+        # waves of even tasks) instead of the static 64m default.  With
+        # repartition="none" the UDF runs directly on scan splits, so
+        # split count IS the task layout; the default sizing gave this
+        # corpus ~5 splits at 4 cores (1.25 waves -> one straggler wave =
+        # +30% wall).  This is the standard production knob
+        # (files.maxPartitionBytes ~ bytes-per-core), applied per width
+        # exactly as a cluster job would.  It is a runtime SQL conf, set
+        # AFTER _ensure_pages so a fresh machine (corpus built this run)
+        # still tiles — sizing from the files actually measured.
+        if os.environ.get("SPARK_GRAFT_TILE", "0") == "1":
+            fs = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.startswith("part-")
+            ]
+            open_cost = 4 << 20
+            total_eff = sum(os.path.getsize(f) for f in fs) + open_cost * len(fs)
+            tile = max(open_cost, total_eff // (2 * cpus) + 1)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(tile))
         pages = spark.read.parquet(path)
 
         # SPARK_GRAFT_REPART: pre-UDF layout for the measured job —
@@ -695,6 +701,10 @@ def _write_bench_md(result: dict, mult: int) -> None:
             "- this file reflects ONE run's windows; `bench_history/README.md` "
             "carries the cross-run distribution and the current gate record "
             "(BASELINE.md narrates it)",
+            "- the headline is measured AFTER the scaling gate (the gate "
+            "deliberately gets the run's coolest windows), so on this "
+            "throttling VM it is a conservative, post-sustained-load sample — "
+            "rounds 1-2 measured it first",
         ]
     sc = result.get("scaling")
     if sc:

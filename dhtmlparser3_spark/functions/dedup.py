@@ -305,7 +305,9 @@ def decontaminate(
 DEFAULT_BUCKET_CAP = 1024  # members per LSH/pigeonhole bucket (see cap_buckets)
 
 
-def cap_buckets(buckets: DataFrame, ids_col: str, cap: int, observation=None):
+def cap_buckets(
+    buckets: DataFrame, ids_col: str, cap: int | None, observation=None
+):
     """Bound the within-bucket quadratic pair expansion.
 
     Bucket-grouped candidate generation collects each bucket's members
@@ -315,16 +317,23 @@ def cap_buckets(buckets: DataFrame, ids_col: str, cap: int, observation=None):
     members (arrays arrive sorted, so the slice is deterministic) and
     bounds task memory at cap^2 pair structs.
 
-    No silent caps: pass a ``pyspark.sql.Observation`` to get
-    (n_overflow_buckets, n_buckets) accounting on the same pass that
-    computes the pairs.  Semantics of a drop: members beyond the cap are
-    near-identical to kept members by construction (they share the
-    bucket), and the exact-dedup stage upstream already collapses the
-    byte-identical mass that creates degenerate buckets — but the count
-    must be surfaced, not assumed zero.
+    ``cap=None`` DISABLES the bound (full recall; the caller owns the
+    degenerate-corpus risk) — with an ``observation`` still attached so
+    the would-have-overflowed count is reported either way.
+
+    The cap is ON by default in every caller (OOM-safety beats tail
+    recall at 10^12 docs); accounting is opt-in via ``observation`` —
+    when you run without one, pairs beyond the cap are dropped with only
+    the docstring contract, not a runtime counter, telling you so.
+    Semantics of a drop: members beyond the cap are near-identical to
+    kept members by construction (they share the bucket), and the exact
+    dedup stage upstream already collapses the byte-identical mass that
+    creates degenerate buckets — but on an unknown corpus pass an
+    Observation (n_overflow_buckets, n_buckets) rather than assuming 0.
     """
+    threshold = DEFAULT_BUCKET_CAP if cap is None else cap
     capped = buckets.withColumn(
-        "_overflow", (F.size(ids_col) > cap).cast("int")
+        "_overflow", (F.size(ids_col) > threshold).cast("int")
     )
     if observation is not None:
         capped = capped.observe(
@@ -332,6 +341,8 @@ def cap_buckets(buckets: DataFrame, ids_col: str, cap: int, observation=None):
             F.sum("_overflow").alias("n_overflow_buckets"),
             F.count(F.lit(1)).alias("n_buckets"),
         )
+    if cap is None:
+        return capped.drop("_overflow")
     return capped.withColumn(ids_col, F.slice(ids_col, 1, cap)).drop(
         "_overflow"
     )
@@ -373,7 +384,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
-    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     observation=None,
     arrays: DataFrame = None,
 ) -> DataFrame:
@@ -381,8 +392,9 @@ def minhash_lsh_pairs(
 
     With r=2/b=32, a pair at Jaccard 0.6 is missed with prob (1-0.36)^32 ≈
     6e-7 — the verified output equals brute force in expectation, which is
-    what the DuckDB oracle asserts.  ``bucket_cap``/``observation``: see
-    :func:`cap_buckets` (bounded task memory on degenerate corpora).
+    what the DuckDB oracle asserts.  A bucket beyond ``bucket_cap`` members
+    is additionally truncated (OOM safety; ``bucket_cap=None`` disables,
+    ``observation`` reports overflow) — see :func:`cap_buckets`.
     """
     # persist: the per-doc shingle arrays feed the signature pipeline AND
     # both sides of the verification join — unpersisted, Spark re-runs the
@@ -463,12 +475,16 @@ def simhash_pairs(
     n: int = 3,
     max_hamming: int = 3,
     id_col: str = "doc_id",
-    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     observation=None,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ k, exact recall via pigeonhole
-    chunk join (k < SIMHASH_CHUNKS required).  ``bucket_cap``/
-    ``observation``: see :func:`cap_buckets`."""
+    """Near-dup pairs with hamming(simhash) ≤ k via pigeonhole chunk join
+    (k < SIMHASH_CHUNKS required).  Recall is exact UP TO the bucket cap:
+    the pigeonhole decomposition itself misses nothing, but a bucket with
+    more than ``bucket_cap`` members is truncated (OOM safety on
+    degenerate corpora) — pass ``bucket_cap=None`` for uncapped exactness
+    or an ``observation`` for overflow accounting; see
+    :func:`cap_buckets`."""
     assert max_hamming < SIMHASH_CHUNKS
     sh = shingle_sets(df, n, id_col)
     sig = simhash_signatures(sh)

@@ -661,18 +661,20 @@ def udf_serializations():
     never a task failure."""
     from pyspark.sql.functions import pandas_udf
 
-    _none = {"main_text": None, "roundtrip": None, "no_tags": None,
-             "pretty": None}
+    # field -> _SERIALIZERS key: ONE dispatch table for all scalar UDFs
+    # (a serializer call-convention fix lands everywhere at once)
+    _fields = {
+        "main_text": "main_text",
+        "roundtrip": "to_string",
+        "no_tags": "content_without_tags",
+        "pretty": "prettify",
+    }
+    _none = dict.fromkeys(_fields)
 
     def one(h):
         try:
             a = parse_arena(decode_html(h))
-            return {
-                "main_text": main_text(a),
-                "roundtrip": serialize.to_string(a),
-                "no_tags": serialize.content_without_tags(a),
-                "pretty": serialize.prettify(a),
-            }
+            return {f: _SERIALIZERS[k](a) for f, k in _fields.items()}
         except Exception:  # noqa: BLE001 — error-row at scale, never a crash
             return dict(_none)
 

@@ -21,6 +21,8 @@ import struct as _struct
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dhtmlparser3_spark.functions.dedup import DEFAULT_BUCKET_CAP, cap_buckets
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -156,7 +158,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 24,
-    bucket_cap: int = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — the SHIPPED operator: LSH-bucketed
@@ -181,11 +183,6 @@ def embedding_dup_pairs(
     ``bucket_cap``/``observation``: see dedup.cap_buckets (bounded task
     memory on degenerate corpora).
     """
-    from dhtmlparser3_spark.functions.dedup import (
-        DEFAULT_BUCKET_CAP,
-        cap_buckets,
-    )
-
     corpus = embedding_dup_corpus(emb, id_col, vec_col)
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes * n_tables, dim)
@@ -198,7 +195,7 @@ def embedding_dup_pairs(
         banded.groupBy("t", "b")
         .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
         .where(F.size("ids") > 1),
-        "ids", bucket_cap or DEFAULT_BUCKET_CAP, observation,
+        "ids", bucket_cap, observation,
     )
     pairs = F.flatten(
         F.transform(

@@ -11,6 +11,7 @@ parallelism is below the cluster's.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
 
@@ -47,41 +48,60 @@ def _scan_split_estimate(df: DataFrame) -> int:
     return splits
 
 
-def has_parallelism(df: DataFrame, threshold: int) -> bool:
-    """Does ``df``'s file layout provide at least ``threshold`` scan
-    splits?  Pure metadata (file sizes vs maxPartitionBytes) — no
-    plan-to-RDD conversion: ``df.rdd.getNumPartitions()`` would convert
-    the logical plan per call and sidestep AQE statistics, so callers
-    that cannot answer from file metadata should just repartition (the
-    extra shuffle moves only narrow pre-expansion rows and is a no-op in
-    cost next to the expression-heavy stage being protected)."""
-    return _scan_split_estimate(df) >= threshold
+# logical-plan text of the layout nodes (no execution, no plan-to-RDD
+# conversion).  `repartition(n)` prints as "Repartition n, true",
+# `coalesce(n)` as "Repartition n, false" (no shuffle), and
+# `repartition(n, cols)`/`repartitionByRange` as
+# "RepartitionByExpression [...], n".
+_REPART_SHUFFLE = re.compile(r"\bRepartition (\d+), true\b")
+_REPART_BY_EXPR = re.compile(r"\bRepartitionByExpression \[[^\]]*\](?:, (\d+))?")
+_COALESCE = re.compile(r"\bRepartition (\d+), false\b")
 
 
-def _plan_has_repartition(df: DataFrame) -> bool:
-    """Does the ANALYZED plan already contain a repartition?  A plan-text
-    probe (no execution, no plan-to-RDD conversion) that keeps spread()
-    idempotent — the file-split estimate cannot see a mid-plan
-    repartition."""
+def _plan_layout(df: DataFrame) -> tuple[int, bool]:
+    """(max explicit shuffle-repartition width in the analyzed plan — 0 if
+    none, has_coalesce).  Coalesce NARROWS the layout, so it must never
+    count as an existing spread (round-2 code matched the bare substring
+    "Repartition", which made spread() silently no-op on coalesce(1)
+    plans — the exact Amdahl hazard it exists to prevent)."""
     try:
-        return "Repartition" in df._jdf.queryExecution().analyzed().toString()
+        text = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # noqa: BLE001 — e.g. connect-only sessions
+        return 0, False
+    widths = [int(m) for m in _REPART_SHUFFLE.findall(text)]
+    widths += [int(m) for m in _REPART_BY_EXPR.findall(text) if m]
+    return max(widths, default=0), bool(_COALESCE.search(text))
+
+
+def has_parallelism(df: DataFrame, threshold: int) -> bool:
+    """Does ``df``'s layout provide at least ``threshold``-way parallelism
+    for the map stage that will consume it?  Pure metadata — file-scan
+    split estimate OR an explicit mid-plan shuffle repartition of that
+    width (so a caller that already repartitioned wide is recognized and
+    not re-shuffled).  A plan containing a coalesce answers False unless
+    an explicit wide repartition is also present (text probes cannot
+    order the two, so be conservative).  No ``df.rdd.getNumPartitions()``:
+    plan-to-RDD conversion per call, sidesteps AQE statistics."""
+    width, coalesced = _plan_layout(df)
+    if width >= threshold:
+        return True
+    if coalesced:
         return False
+    return _scan_split_estimate(df) >= threshold
 
 
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Round-robin repartition to ``factor x defaultParallelism`` unless
-    the file-scan split estimate already reaches the cluster's
-    parallelism or the plan already repartitions.
+    the layout already provides the cluster's parallelism (wide file
+    splits or an explicit wide repartition — which keeps spread()
+    idempotent: the repartition spread() itself adds is seen on the
+    second call).
 
     A no-op on well-split inputs (real Iceberg/parquet tables at scale),
     so it is safe to apply unconditionally before expression-heavy
-    stages; both probes are pure metadata — the exact-but-expensive
-    ``df.rdd.getNumPartitions()`` conversion (which also sidesteps AQE
-    statistics) is never paid.
+    stages; all probes are pure metadata.
     """
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
-    if has_parallelism(df, sc.defaultParallelism) or _plan_has_repartition(df):
+    if has_parallelism(df, sc.defaultParallelism):
         return df
-    return df.repartition(target)
+    return df.repartition(sc.defaultParallelism * factor)

@@ -149,6 +149,16 @@ def test_bucket_cap_bounds_degenerate_corpus(spark):
     assert metrics["n_overflow_buckets"] > 0, metrics
     assert metrics["n_buckets"] >= metrics["n_overflow_buckets"]
 
+    # bucket_cap=None DISABLES the bound (full recall over all 40 docs,
+    # caller owns the risk); the observation still reports would-be
+    # overflow vs the DEFAULT cap (1024 — not exceeded by 40 members)
+    obs2 = Observation("lsh_uncapped")
+    uncapped = minhash_lsh_pairs(
+        docs, n=3, tau_pct=60, bucket_cap=None, observation=obs2
+    ).collect()
+    assert len(uncapped) == n_docs * (n_docs - 1) // 2
+    assert obs2.get["n_overflow_buckets"] == 0, obs2.get
+
 
 @pytest.mark.spark
 def test_bucket_cap_inactive_below_cap(spark, duck):

@@ -231,7 +231,11 @@ def test_auto_repartition_parity(spark, tmp_path):
     wide_path = str(tmp_path / "pages_wide")
     build_pages(spark, SF).repartition(64).write.parquet(wide_path)
     wide = spark.read.parquet(wide_path)
-    narrow = build_pages(spark, SF)  # single parquet file underneath
+    # truly narrow: ONE stored file, no mid-plan repartition (build_pages
+    # itself pre-spreads the cheap docs side, which auto now recognizes)
+    narrow_path = str(tmp_path / "pages_narrow")
+    build_pages(spark, SF).coalesce(1).write.parquet(narrow_path)
+    narrow = spark.read.parquet(narrow_path)
 
     def salted_exchange(df):
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -245,6 +249,19 @@ def test_auto_repartition_parity(spark, tmp_path):
         extract_pages(wide, parallelism=8, repartition="auto",
                       with_metrics=False)
     ), "well-split input must resolve auto -> none"
+    # an already-wide MID-PLAN layout (caller pre-repartitioned) must not
+    # be re-shuffled: at 100 TB an unnecessary salted pass over raw html
+    # is the single most expensive thing the job could do
+    assert not salted_exchange(
+        extract_pages(narrow.repartition(16, F.col("url")), parallelism=8,
+                      repartition="auto", with_metrics=False)
+    ), "pre-repartitioned input must resolve auto -> none"
+    # while a coalesce(1) over a wide file layout MUST still be salted
+    # (the file-split estimate alone would wrongly say wide)
+    assert salted_exchange(
+        extract_pages(wide.coalesce(1), parallelism=8,
+                      repartition="auto", with_metrics=False)
+    ), "coalesced-narrow input must resolve auto -> salted"
     # and both agree with the explicit modes row-for-row
     a = extract_pages(narrow, parallelism=8, repartition="salted",
                       with_metrics=False).select("url").count()
