@@ -1153,8 +1153,12 @@ def _q_ann_ivf(spark, sf_dir):
 def _q_ann_recall(spark, sf_dir):
     """Driver-visible ANN quality: recall@5 of each approximate index (LSH,
     IVF) against the exact brute-force top-k, computed inside Spark; the
-    DuckDB oracle pins the query count (from the table) and the recall
-    floor (≥60%, the same bound the pytest suite enforces)."""
+    DuckDB oracle pins the query count (from the table) and a PER-METHOD
+    recall floor at what each index actually delivers — LSH ≥90 (pytest
+    pins ≥0.9; measured 1.0 at sf0.01) and IVF ≥75 (deterministic 0.80 at
+    sf0.01 with n_probe=4 of 8 cells — the coarse-quantization trade) —
+    so a silent recall regression in either index turns this row red.
+    Round 3 used a blanket ≥60 floor; these are the tightened bounds."""
     from dhtmlparser3_spark.functions.similarity import (
         cosine_topk,
         ivf_ann_topk,
@@ -1166,7 +1170,7 @@ def _q_ann_recall(spark, sf_dir):
         "query_id", "neighbor_id"
     )
 
-    def one(method, fn):
+    def one(method, fn, floor_pct):
         approx = fn(emb, k=5, query_mod=50).select(
             "query_id", "neighbor_id", F.lit(1).alias("hit")
         )
@@ -1177,12 +1181,14 @@ def _q_ann_recall(spark, sf_dir):
         ).select(
             F.lit(method).alias("method"),
             (F.col("n_true") / 5).cast("bigint").alias("n_queries"),
-            (F.floor(100 * F.col("n_hits") / F.col("n_true")) >= 60)
+            (F.floor(100 * F.col("n_hits") / F.col("n_true")) >= floor_pct)
             .cast("int")
-            .alias("meets_recall_60"),
+            .alias("meets_floor"),
         )
 
-    return one("ivf", ivf_ann_topk).unionByName(one("lsh", lsh_ann_topk))
+    return one("ivf", ivf_ann_topk, 75).unionByName(
+        one("lsh", lsh_ann_topk, 90)
+    )
 
 
 def _q_stream_extract(spark, sf_dir):
@@ -2227,7 +2233,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": """
           WITH q AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id % 50 = 0)
           SELECT 'ivf' AS method, CAST(nq AS BIGINT) AS n_queries,
-                 1 AS meets_recall_60 FROM q
+                 1 AS meets_floor FROM q
           UNION ALL
           SELECT 'lsh', CAST(nq AS BIGINT), 1 FROM q
         """,

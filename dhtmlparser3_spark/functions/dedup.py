@@ -322,30 +322,63 @@ def cap_buckets(
     the would-have-overflowed count is reported either way.
 
     The cap is ON by default in every caller (OOM-safety beats tail
-    recall at 10^12 docs); accounting is opt-in via ``observation`` —
-    when you run without one, pairs beyond the cap are dropped with only
-    the docstring contract, not a runtime counter, telling you so.
-    Semantics of a drop: members beyond the cap are near-identical to
-    kept members by construction (they share the bucket), and the exact
-    dedup stage upstream already collapses the byte-identical mass that
-    creates degenerate buckets — but on an unknown corpus pass an
-    Observation (n_overflow_buckets, n_buckets) rather than assuming 0.
+    recall at 10^12 docs), and overflow is ALWAYS accounted: when the
+    caller passes no ``observation``, a fresh one is created and attached
+    anyway, and exposed as ``_overflow_observation`` on the returned
+    DataFrame (the pair-producing callers re-attach it to their final
+    result) — after any action, ``overflow_counts(df)`` returns
+    ``{n_overflow_buckets, n_buckets}`` and warns when truncation fired,
+    so a silent-drop corpus is never silent at runtime.  Semantics of a
+    drop: members beyond the cap are near-identical to kept members by
+    construction (they share the bucket), and the exact dedup stage
+    upstream already collapses the byte-identical mass that creates
+    degenerate buckets.
     """
+    from pyspark.sql import Observation
+
     threshold = DEFAULT_BUCKET_CAP if cap is None else cap
     capped = buckets.withColumn(
         "_overflow", (F.size(ids_col) > threshold).cast("int")
     )
-    if observation is not None:
-        capped = capped.observe(
-            observation,
-            F.sum("_overflow").alias("n_overflow_buckets"),
-            F.count(F.lit(1)).alias("n_buckets"),
-        )
-    if cap is None:
-        return capped.drop("_overflow")
-    return capped.withColumn(ids_col, F.slice(ids_col, 1, cap)).drop(
-        "_overflow"
+    if observation is None:
+        observation = Observation()
+    capped = capped.observe(
+        observation,
+        F.sum("_overflow").alias("n_overflow_buckets"),
+        F.count(F.lit(1)).alias("n_buckets"),
     )
+    if cap is None:
+        out = capped.drop("_overflow")
+    else:
+        out = capped.withColumn(ids_col, F.slice(ids_col, 1, cap)).drop(
+            "_overflow"
+        )
+    out._overflow_observation = observation
+    return out
+
+
+def overflow_counts(df: DataFrame) -> dict | None:
+    """Post-action overflow accounting for any DataFrame descended from
+    :func:`cap_buckets` (the producing function re-attaches the
+    observation as ``df._overflow_observation``).  Call AFTER an action —
+    ``Observation.get`` blocks until the attached plan has executed.
+    Returns ``{n_overflow_buckets, n_buckets}`` (warning via ``warnings``
+    when truncation fired) or None when no observation is attached."""
+    obs = getattr(df, "_overflow_observation", None)
+    if obs is None:
+        return None
+    got = obs.get
+    if got.get("n_overflow_buckets") or 0:
+        import warnings
+
+        warnings.warn(
+            f"cap_buckets truncated {got['n_overflow_buckets']} of "
+            f"{got['n_buckets']} candidate buckets — near-dup recall is "
+            "cap-conditional on this corpus (raise bucket_cap or pass "
+            "cap=None after exact dedup)",
+            stacklevel=2,
+        )
+    return got
 
 
 _P31 = 2147483647  # 2^31-1, Mersenne prime
@@ -444,7 +477,9 @@ def minhash_lsh_pairs(
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
-    return _verify_candidates(arrays, cand).where(F.col("jacc_pct") >= tau_pct)
+    out = _verify_candidates(arrays, cand).where(F.col("jacc_pct") >= tau_pct)
+    out._overflow_observation = buckets._overflow_observation
+    return out
 
 
 # --- SimHash -------------------------------------------------------------------
@@ -533,9 +568,16 @@ def simhash_pairs(
             ),
         )
     )
-    return (
+    # filter BEFORE the distinct exchange: a pair surfaces once per shared
+    # chunk-bucket (up to SIMHASH_CHUNKS times) and hamming is already
+    # computed per surfaced copy, so dropping far pairs first shrinks the
+    # distinct's shuffle by the (dominant) far-pair mass — same result,
+    # strictly less data moved
+    out = (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.a_id", "p.b_id", "p.hamming")
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    out._overflow_observation = buckets._overflow_observation
+    return out

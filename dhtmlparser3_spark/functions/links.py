@@ -32,6 +32,9 @@ from dhtmlparser3_spark.operators.nodes import (
 
 HOST_RE = r"https://([^/]+)/"
 PR_SCALE = 10**12
+# pagerank collects the node set to a driver-local relation only below this
+# bound (~a few MB of host strings); larger graphs stay distributed
+_LOCAL_NODES_MAX = 100_000
 
 
 def outlinks(pages: DataFrame) -> DataFrame:
@@ -112,21 +115,30 @@ def pagerank(edges: DataFrame, iters: int = 5, damp_pct: int = 85) -> DataFrame:
       per_link(u) = rank(u) div outdeg_links(u)
       rank'(v)    = ((100-damp) * base + damp * Σ per_link(u)·n_e) div 100
     """
-    # the host set is collected to a LOCAL relation: a host-level graph is
-    # small by construction (we already pay a driver scalar for n_hosts),
-    # and a local relation broadcasts into every per-iteration join without
-    # pinning session-lifetime cache blocks (the round-2 persist() here
-    # leaked one cached copy per calling query)
-    spark = edges.sparkSession
-    hosts = sorted(
-        r[0]
-        for r in edges.select(F.col("src").alias("host"))
+    # node-set materialization, sized by a cheap count() first (the driver
+    # scalar we pay anyway for n_hosts):
+    #   * small host set (≤ _LOCAL_NODES_MAX) → collect to a LOCAL relation,
+    #     which broadcasts into every per-iteration join without pinning
+    #     session-lifetime cache blocks (the round-2 persist() here leaked
+    #     one cached copy per calling query);
+    #   * large host set (real-web graphs run 10^8+ hosts at the 10^12-doc
+    #     design point — far beyond driver memory) → keep the DISTRIBUTED
+    #     DataFrame, localCheckpoint(eager) so the distinct is computed
+    #     once and the per-iteration lineage stays flat.  Checkpoint blocks
+    #     are reclaimed by the ContextCleaner when the RDD is GC'd — the
+    #     same caller-owned-lifetime caveat as functions/graph.py.
+    nodes_dist = (
+        edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .collect()
     )
-    nodes = spark.createDataFrame([(h,) for h in hosts], "host string")
-    n_hosts = len(hosts)
+    n_hosts = nodes_dist.count()
+    if n_hosts <= _LOCAL_NODES_MAX:
+        spark = edges.sparkSession
+        hosts = sorted(r[0] for r in nodes_dist.collect())
+        nodes = spark.createDataFrame([(h,) for h in hosts], "host string")
+    else:
+        nodes = nodes_dist.localCheckpoint(eager=True)
     base = PR_SCALE // n_hosts
     deg = edges.groupBy("src").agg(F.sum("n_links").alias("outdeg"))
     ranks = nodes.select("host", F.lit(base).cast("long").alias("rank"))

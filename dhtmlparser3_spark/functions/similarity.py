@@ -211,7 +211,9 @@ def embedding_dup_pairs(
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
-    return _cosine_verify_pairs(corpus, cand, tau)
+    out = _cosine_verify_pairs(corpus, cand, tau)
+    out._overflow_observation = grouped._overflow_observation
+    return out
 
 
 def ivf_ann_topk(

@@ -52,9 +52,14 @@ def _scan_split_estimate(df: DataFrame) -> int:
 # conversion).  `repartition(n)` prints as "Repartition n, true",
 # `coalesce(n)` as "Repartition n, false" (no shuffle), and
 # `repartition(n, cols)`/`repartitionByRange` as
-# "RepartitionByExpression [...], n".
+# "RepartitionByExpression [...], n".  The expression list itself may
+# print brackets (array/map element access, e.g. ``col("a")[0]``), so the
+# width is anchored on the line's TRAILING ``], n`` — greedy ``.*`` under
+# MULTILINE reaches the last ``]`` of that plan line, not the first.
 _REPART_SHUFFLE = re.compile(r"\bRepartition (\d+), true\b")
-_REPART_BY_EXPR = re.compile(r"\bRepartitionByExpression \[[^\]]*\](?:, (\d+))?")
+_REPART_BY_EXPR = re.compile(
+    r"\bRepartitionByExpression \[.*\](?:, (\d+))?\r?$", re.MULTILINE
+)
 _COALESCE = re.compile(r"\bRepartition (\d+), false\b")
 
 
@@ -78,15 +83,19 @@ def has_parallelism(df: DataFrame, threshold: int) -> bool:
     for the map stage that will consume it?  Pure metadata — file-scan
     split estimate OR an explicit mid-plan shuffle repartition of that
     width (so a caller that already repartitioned wide is recognized and
-    not re-shuffled).  A plan containing a coalesce answers False unless
-    an explicit wide repartition is also present (text probes cannot
-    order the two, so be conservative).  No ``df.rdd.getNumPartitions()``:
-    plan-to-RDD conversion per call, sidesteps AQE statistics."""
+    not re-shuffled).  A plan containing a coalesce answers False EVEN
+    when a wide repartition is also present: text probes cannot order the
+    two nodes, and ``repartition(N).coalesce(1)`` judged wide would make
+    spread() no-op on a 1-partition layout — the exact Amdahl hazard it
+    exists to prevent.  One redundant shuffle on the reverse ordering
+    (``coalesce(1).repartition(N)``) is the cheap direction of that
+    ambiguity.  No ``df.rdd.getNumPartitions()``: plan-to-RDD conversion
+    per call, sidesteps AQE statistics."""
     width, coalesced = _plan_layout(df)
-    if width >= threshold:
-        return True
     if coalesced:
         return False
+    if width >= threshold:
+        return True
     return _scan_split_estimate(df) >= threshold
 
 

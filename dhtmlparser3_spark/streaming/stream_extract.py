@@ -81,9 +81,13 @@ def dedup_stream(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFr
 
 
 def windowed_metrics_stream(
-    extracted: DataFrame, delay: str = "10 minutes"
+    extracted: DataFrame, delay: str = "1 hour"
 ) -> DataFrame:
     """Stateful side: event-time tumbling doc counts behind a watermark.
+
+    ``delay`` defaults to the historical "1 hour" (library consumers size
+    completeness-vs-state on it); the driver's demo passes a tight
+    "10 minutes" explicitly to exercise eviction in few micro-batches.
 
     Scale contract (UPDATE output mode — the 100 TB shape): the watermark
     bounds state — windows whose end falls behind it are evicted each

@@ -125,3 +125,26 @@ def test_layout_spread(spark):
     assert wide.count() == docs.count()
     # idempotent: an already-wide frame passes through untouched
     assert spread(wide) is wide
+
+
+def test_layout_probe_edge_cases(spark):
+    """has_parallelism must (a) answer False whenever a coalesce appears,
+    even alongside a wide repartition (probe text cannot order the nodes —
+    repartition(N).coalesce(1) judged wide would Amdahl-cap the map
+    stage), and (b) capture the repartition width when the partition
+    expressions themselves print brackets (array element access)."""
+    from pyspark.sql import functions as F
+
+    from dhtmlparser3_spark.plans.layout import has_parallelism
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wide = docs.repartition(64, F.col("doc_id"))
+    assert has_parallelism(wide, 64)
+    assert not has_parallelism(wide.coalesce(1), 2)
+    # both nodes present -> conservative False (ADVICE r3)
+    assert not has_parallelism(wide.coalesce(1), 64)
+    # bracket-printing partition expression: split(text)[0] renders as
+    # "...[0]" inside the RepartitionByExpression arg list — the width
+    # anchor must still reach the trailing ", 64"
+    bracketed = docs.repartition(64, F.split(F.col("text"), " ")[0])
+    assert has_parallelism(bracketed, 64)

@@ -161,6 +161,47 @@ def test_bucket_cap_bounds_degenerate_corpus(spark):
 
 
 @pytest.mark.spark
+def test_bucket_cap_default_observation_warns(spark):
+    """With NO caller-supplied observation, cap_buckets still accounts
+    overflow: the producing function re-attaches a default observation to
+    its final DataFrame and overflow_counts() reports + warns post-action
+    — a truncating corpus is never silent (ADVICE r3)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from dhtmlparser3_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        overflow_counts,
+        simhash_pairs,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(docs, n=3, tau_pct=60, bucket_cap=8)
+    pairs.count()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = overflow_counts(pairs)
+    assert got["n_overflow_buckets"] > 0
+    assert any("truncated" in str(x.message) for x in w)
+
+    # simhash path carries the observation too; a healthy corpus (cap not
+    # hit) reports zero overflow and no warning
+    sp = simhash_pairs(docs.limit(5), n=3)
+    sp.count()
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        got2 = overflow_counts(sp)
+    assert got2 is not None and got2["n_overflow_buckets"] == 0
+    assert not w2
+    # a frame that never went through cap_buckets has nothing attached
+    assert overflow_counts(docs) is None
+
+
+@pytest.mark.spark
 def test_bucket_cap_inactive_below_cap(spark, duck):
     """With the default cap the sf0.001 dedup-corpus LSH output is
     byte-identical to the uncapped brute oracle (the cap must never fire

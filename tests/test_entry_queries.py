@@ -111,7 +111,9 @@ def test_ann_recall_floor(spark):
 @pytest.mark.spark
 def test_ivf_recall_floor(spark):
     """IVF ANN (8 cells, 4-probe — the synthetic embeddings are near-random
-    so cells are weakly selective) must find ≥60% of true top-5 at sf0.01."""
+    so cells are weakly selective) must find ≥75% of true top-5 at sf0.01
+    (deterministic 0.80 measured; the driver's ann_recall row pins the
+    same per-method floor)."""
     from dhtmlparser3_spark.functions.similarity import cosine_topk, ivf_ann_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -120,7 +122,7 @@ def test_ivf_recall_floor(spark):
     t = set(zip(truth.query_id, truth.neighbor_id))
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(t & a) / len(t)
-    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+    assert recall >= 0.75, f"IVF recall {recall:.2f}"
 
 
 @pytest.mark.spark

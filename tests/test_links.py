@@ -48,6 +48,23 @@ def test_pagerank_sink_accumulates(spark):
 
 
 @pytest.mark.spark
+def test_pagerank_distributed_nodes_path(spark, monkeypatch):
+    """Above _LOCAL_NODES_MAX the node set stays a distributed DataFrame
+    (no driver collect of every host string); ranks must be bit-identical
+    to the local-relation path."""
+    import dhtmlparser3_spark.functions.links as links_mod
+
+    edges = spark.createDataFrame(
+        [("a", "c", 1), ("b", "c", 1), ("c", "a", 2)],
+        "src string, dst string, n_links long",
+    )
+    local = {r.host: r.rank for r in pagerank(edges, iters=4).collect()}
+    monkeypatch.setattr(links_mod, "_LOCAL_NODES_MAX", 0)
+    dist = {r.host: r.rank for r in pagerank(edges, iters=4).collect()}
+    assert dist == local
+
+
+@pytest.mark.spark
 def test_host_edges_multiplicity(spark):
     links = spark.createDataFrame(
         [

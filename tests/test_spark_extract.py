@@ -262,6 +262,13 @@ def test_auto_repartition_parity(spark, tmp_path):
         extract_pages(wide.coalesce(1), parallelism=8,
                       repartition="auto", with_metrics=False)
     ), "coalesced-narrow input must resolve auto -> salted"
+    # ... and the ambiguous BOTH case (repartition then coalesce) resolves
+    # conservatively to salted: text probes cannot order the two nodes, and
+    # judging it wide would run the UDF stage on 1 partition (ADVICE r3)
+    assert salted_exchange(
+        extract_pages(narrow.repartition(64, F.col("url")).coalesce(1),
+                      parallelism=8, repartition="auto", with_metrics=False)
+    ), "repartition(64).coalesce(1) must resolve auto -> salted"
     # and both agree with the explicit modes row-for-row
     a = extract_pages(narrow, parallelism=8, repartition="salted",
                       with_metrics=False).select("url").count()
