@@ -15,6 +15,7 @@ Spans: per-text-node (src_start, src_end) offsets into the decoded html —
 from __future__ import annotations
 
 import gc
+import os
 from typing import Iterator, List, Optional
 
 import pandas as pd
@@ -409,27 +410,66 @@ def extract_series(html: pd.Series) -> pd.DataFrame:
     return out
 
 
-def make_extract_iterator(passthrough=("url", "warc_ts", "lang")):
-    """Build a mapInPandas function: batches of pages → extraction batches."""
+# worker-side byte bound per processed slice (env-overridable): the JVM
+# already double-bounds its batches by rows AND bytes (plans/session.py
+# maxBytesPerBatch), but a defense in depth matters at the 100 TB design
+# point — an engine path that ignores the conf, or a caller-tuned giant
+# row bound, must not make one worker hold a whole oversized batch's
+# OUTPUT (extracted text ≈ input size) on top of its input.  Slices are
+# planned from the html byte lengths; a single row always forms a slice
+# even beyond the bound (the irreducible unit).
+_WORKER_BATCH_BYTES = int(
+    os.environ.get("SPARK_GRAFT_WORKER_BATCH_BYTES", str(64 << 20))
+)
+
+
+def byte_slices(sizes, max_bytes: int):
+    """Greedy (start, length) slices over ``sizes`` with per-slice byte
+    sums ≤ max_bytes (single oversized rows get their own slice)."""
+    out, start, acc = [], 0, 0
+    for i, s in enumerate(sizes):
+        if i > start and acc + s > max_bytes:
+            out.append((start, i - start))
+            start, acc = i, 0
+        acc += s
+    if start < len(sizes):
+        out.append((start, len(sizes) - start))
+    return out
+
+
+def make_extract_iterator(
+    passthrough=("url", "warc_ts", "lang"), max_slice_bytes: int | None = None
+):
+    """Build a mapInPandas function: batches of pages → extraction batches.
+
+    Each incoming batch is processed in byte-bounded row slices (see
+    ``_WORKER_BATCH_BYTES``) so output accumulation stays bounded even on
+    giant-document batches."""
+    bound = _WORKER_BATCH_BYTES if max_slice_bytes is None else max_slice_bytes
+    out_cols = [
+        "extracted_text",
+        "main_text",
+        "n_nodes",
+        "n_tags",
+        "n_text_nodes",
+        "n_chars_out",
+        "spans",
+        "error",
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = extract_series(pdf["html"])
-            for col in passthrough:
-                out[col] = pdf[col].values
-            yield out[
-                list(passthrough)
-                + [
-                    "extracted_text",
-                    "main_text",
-                    "n_nodes",
-                    "n_tags",
-                    "n_text_nodes",
-                    "n_chars_out",
-                    "spans",
-                    "error",
-                ]
-            ]
+            sizes = [len(h) if h is not None else 0 for h in pdf["html"]]
+            for start, length in byte_slices(sizes, bound):
+                part = (
+                    pdf
+                    if length == len(pdf)
+                    else pdf.iloc[start : start + length]
+                )
+                out = extract_series(part["html"])
+                for col in passthrough:
+                    out[col] = part[col].values
+                yield out[list(passthrough) + out_cols]
 
     return run
 
@@ -469,9 +509,12 @@ def _arrow_span_type():
     return _ARROW_SPAN_TYPE
 
 
-def make_extract_arrow_iterator(passthrough=("url", "warc_ts", "lang")):
+def make_extract_arrow_iterator(
+    passthrough=("url", "warc_ts", "lang"), max_slice_bytes: int | None = None
+):
     """Build a mapInArrow function: RecordBatches of pages → extraction
-    RecordBatches.
+    RecordBatches, processed in byte-bounded row slices (see
+    ``_WORKER_BATCH_BYTES``).
 
     Same per-doc work as make_extract_iterator, minus the pandas detour on
     BOTH sides of the boundary: the html column is unboxed once at the C
@@ -483,40 +526,56 @@ def make_extract_arrow_iterator(passthrough=("url", "warc_ts", "lang")):
     cores this removes most of the UDF-stage overhead vs the pure-
     multiprocessing ceiling (scripts/exp_width.py)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     span_t = _arrow_span_type()
+    bound = _WORKER_BATCH_BYTES if max_slice_bytes is None else max_slice_bytes
 
     def run(batches):
-        for rb in batches:
-            idx = rb.schema.get_field_index("html")
-            htmls = rb.column(idx).to_pylist()
-            gc_was_enabled = gc.isenabled()
-            gc.disable()
-            try:
-                rows = [extract_one(decode_html(h)) for h in htmls]
-            finally:
-                if gc_was_enabled:
-                    gc.enable()
-            if rows:
-                cols = list(zip(*rows))
-            else:
-                cols = [[] for _ in _EXTRACT_COLS]
-            arrays = [
-                rb.column(rb.schema.get_field_index(c)) for c in passthrough
-            ]
-            arrays += [
-                pa.array(cols[0], pa.string()),
-                pa.array(cols[1], pa.string()),
-                pa.array(cols[2], pa.int32()),
-                pa.array(cols[3], pa.int32()),
-                pa.array(cols[4], pa.int32()),
-                pa.array(cols[5], pa.int64()),
-                pa.array(cols[6], span_t),
-                pa.array(cols[7], pa.string()),
-            ]
-            yield pa.RecordBatch.from_arrays(
-                arrays, list(passthrough) + list(_EXTRACT_COLS)
-            )
+        for whole in batches:
+            idx = whole.schema.get_field_index("html")
+            # slice BEFORE to_pylist: unboxing a giant batch's html column
+            # in one go would materialize every document as a Python string
+            # simultaneously — the byte planner works off the (cheap)
+            # value lengths instead
+            sizes = pc.binary_length(whole.column(idx)).to_pylist()
+            for start, length in byte_slices(
+                [s or 0 for s in sizes], bound
+            ) or [(0, 0)]:
+                rb = (
+                    whole
+                    if length == whole.num_rows
+                    else whole.slice(start, length)
+                )
+                htmls = rb.column(idx).to_pylist()
+                gc_was_enabled = gc.isenabled()
+                gc.disable()
+                try:
+                    rows = [extract_one(decode_html(h)) for h in htmls]
+                finally:
+                    if gc_was_enabled:
+                        gc.enable()
+                if rows:
+                    cols = list(zip(*rows))
+                else:
+                    cols = [[] for _ in _EXTRACT_COLS]
+                arrays = [
+                    rb.column(rb.schema.get_field_index(c))
+                    for c in passthrough
+                ]
+                arrays += [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.string()),
+                    pa.array(cols[2], pa.int32()),
+                    pa.array(cols[3], pa.int32()),
+                    pa.array(cols[4], pa.int32()),
+                    pa.array(cols[5], pa.int64()),
+                    pa.array(cols[6], span_t),
+                    pa.array(cols[7], pa.string()),
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, list(passthrough) + list(_EXTRACT_COLS)
+                )
 
     return run
 

@@ -38,8 +38,18 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 8192,
+    arrow_batch_bytes: int = 64 << 20,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    """``arrow_batch_rows`` and ``arrow_batch_bytes`` DOUBLE-bound every
+    JVM→Python Arrow batch: whichever limit is hit first cuts the batch.
+    The byte bound is the one that matters on web corpora — single
+    Common-Crawl pages reach tens of MB, and 8192 such rows would be a
+    multi-GB batch in one Python worker (SURVEY §4.2: size batches so one
+    batch of html fits worker memory).  Spark cuts AFTER crossing the
+    bound, so a batch can overshoot by at most one row — the irreducible
+    unit; the worker-side slicer in functions/extract.py bounds output
+    accumulation the same way."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -59,6 +69,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_batch_bytes)
         )
         # feed buffer between the JVM writer thread and the python worker:
         # one Arrow batch of html is ~3MB, the 64KB default forces dozens of

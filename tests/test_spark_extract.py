@@ -275,3 +275,105 @@ def test_auto_repartition_parity(spark, tmp_path):
     b = extract_pages(narrow, parallelism=8, repartition="auto",
                       with_metrics=False).select("url").count()
     assert a == b
+
+
+def test_byte_slices_planner():
+    """Greedy byte-bounded slice planning: exact packing, oversized single
+    rows get their own slice, empty input yields no slices."""
+    from dhtmlparser3_spark.functions.extract import byte_slices
+
+    assert byte_slices([], 10) == []
+    assert byte_slices([1] * 5, 100) == [(0, 5)]
+    assert byte_slices([5, 5, 5], 10) == [(0, 2), (2, 1)]
+    assert byte_slices([4, 6, 1], 10) == [(0, 2), (2, 1)]
+    assert byte_slices([50], 10) == [(0, 1)]
+    assert byte_slices([50, 1, 1], 10) == [(0, 1), (1, 2)]
+    assert byte_slices([1, 50, 1], 10) == [(0, 1), (1, 1), (2, 1)]
+
+
+def _giant_docs(n=6, mb=10):
+    """Deterministic ~mb-MB html documents (entities, comments, nesting —
+    the reference-quirk surface, just a lot of it)."""
+    unit = (
+        '<div class="c"><p>alpha &amp; beta &lt;x&gt; '
+        + "y" * 400
+        + "</p><!-- trailing comment --></div>"
+    )
+    reps = (mb << 20) // len(unit.encode()) + 1
+    return [
+        f"<html><body><h1>doc {i}</h1>" + unit * reps + "</body></html>"
+        for i in range(n)
+    ]
+
+
+def test_giant_docs_worker_slicing_and_byte_identity(ref):
+    """10-MB documents (SURVEY §4.2's giant-page hazard), no Spark: one fat
+    Arrow batch through make_extract_arrow_iterator with a 16-MB slice
+    bound must be processed in MULTIPLE output slices (output accumulation
+    bounded — the worker never holds every extracted text at once) and
+    each extracted_text must be byte-identical to the reference parser."""
+    import pyarrow as pa
+
+    htmls = _giant_docs(n=6, mb=10)
+    rb = pa.RecordBatch.from_pydict(
+        {
+            "url": [f"https://g.example/{i}" for i in range(len(htmls))],
+            "html": [h.encode() for h in htmls],
+        }
+    )
+    it = fx.make_extract_arrow_iterator(
+        passthrough=("url",), max_slice_bytes=16 << 20
+    )
+    out = list(it(iter([rb])))
+    assert len(out) >= 3, f"expected >=3 byte-bounded slices, got {len(out)}"
+    assert sum(b.num_rows for b in out) == len(htmls)
+    got = {}
+    for b in out:
+        for u, t, e in zip(
+            b.column(0).to_pylist(),
+            b.column(b.schema.get_field_index("extracted_text")).to_pylist(),
+            b.column(b.schema.get_field_index("error")).to_pylist(),
+        ):
+            assert e is None
+            got[u] = t
+    for i, h in enumerate(htmls):
+        assert got[f"https://g.example/{i}"] == ref.parse(h).content_str(), i
+
+
+@pytest.mark.spark
+def test_giant_docs_one_partition_end_to_end(spark, ref):
+    """One partition FULL of ~10-MB docs through the real pipeline with the
+    JVM Arrow byte bound tightened to 24 MB: completes under bounded
+    batches (the rows-only 8192 default would have made one multi-hundred-
+    MB batch) and stays byte-identical per url."""
+    htmls = _giant_docs(n=6, mb=10)
+    rows = [
+        (f"https://g.example/{i}", h.encode()) for i, h in enumerate(htmls)
+    ]
+    src = (
+        spark.createDataFrame(rows, "url string, html binary")
+        .coalesce(1)
+        .selectExpr(
+            "url",
+            "timestamp'2024-01-01' as warc_ts",
+            "html",
+            "cast(null as string) as text",
+            "'en' as lang",
+        )
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", str(24 << 20))
+    try:
+        out = extract_pages(
+            src, parallelism=4, with_metrics=False, repartition="none"
+        ).select("url", "extracted_text", "error")
+        pdf = out.toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", old)
+    assert pdf["error"].isna().all()
+    want = {
+        f"https://g.example/{i}": ref.parse(h).content_str()
+        for i, h in enumerate(htmls)
+    }
+    got = dict(zip(pdf["url"], pdf["extracted_text"]))
+    assert got == want
