@@ -174,6 +174,30 @@ def _run_extract(cpus: int, sf_dir: str, multiplier: int, runs: int = 3):
             dt = time.time() - t0
             all_secs.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
+        # Adaptive JIT tail: at 16+ cores one full run is only ~4-6 s —
+        # too short for C2 to converge during the warmup the way it does
+        # inside a single 16-20 s 4-core run, so a fixed run count leaves
+        # the 16-core min on the still-descending part of the compile
+        # curve (a direct driver of the within-artifact paired-ratio
+        # spread).  Keep running while each extra run still improves the
+        # min by >3%, up to 3 extras — converged widths stop immediately.
+        # Long runs (4-core ≈ 16-20 s) JIT-converge inside their first
+        # execution and their min is already tight across windows — the
+        # tail applies only where runs are short enough (<10 s) that the
+        # compile curve spans several executions.
+        extra_cap = int(os.environ.get("SPARK_GRAFT_JIT_EXTRA", "3"))
+        for _ in range(extra_cap):
+            if best >= 10.0:
+                break
+            t0 = time.time()
+            agg = job()
+            dt = time.time() - t0
+            all_secs.append(round(dt, 3))
+            if dt < best * 0.97:
+                best = dt
+            else:
+                best = min(best, dt)
+                break
         assert agg.errors == 0, f"extraction errors: {agg.errors}"
         return int(agg.docs), best, int(agg.checksum), all_secs
     finally:
@@ -591,7 +615,13 @@ def main():
             # doubles the distinct VM windows the gate pair can sample
             mp = extra % 3 == 1
             one_width(f"x{extra}", 4, runs_override=1, mp=mp)
-            one_width(f"x{extra}", 16, runs_override=2, mp=mp)
+            # 3 timed 16-core runs per extension JVM (the adaptive JIT
+            # tail in _run_extract may add more while still improving):
+            # the 16-core min has a wide bottom across windows (observed
+            # 5.2-8.1 s inside single artifacts) and converges per-JVM
+            # along the C2 compile curve, so deeper in-JVM sampling at the
+            # cheap width is where extra budget buys variance down.
+            one_width(f"x{extra}", 16, runs_override=3, mp=mp)
         eff_4_16 = (runs[4]["secs"] / runs[16]["secs"]) / 4
         eff_8_32 = (runs[8]["secs"] / runs[32]["secs"]) / 4
         # PAIRED per-pass efficiency: the k-th 4-core sample and the k-th
@@ -674,7 +704,62 @@ def main():
     else:
         result["queries"] = {}
 
-    print(json.dumps(result), flush=True)
+    # Three output surfaces, in trust order:
+    #  1. bench_history/<ts>.json — the FULL result (every sample), always
+    #     archived; nothing is discarded.
+    #  2. stderr — the full JSON for interactive runs.
+    #  3. stdout — ONE COMPACT JSON line, printed LAST.  The round-3
+    #     driver captured only the tail of stdout and the full line
+    #     (~4.4 KB with per-sample arrays) overflowed its window →
+    #     BENCH_r03.json carried `parsed: null`.  The compact line keeps
+    #     the contract fields (metric/value/unit/sf/queries) plus the
+    #     scaling summary and stays well under 2.5 KB; per-sample arrays
+    #     live in the archive and BENCH.md.
+    import copy
+
+    os.makedirs("bench_history", exist_ok=True)
+    tag = "full" if result.get("queries") else "partial"
+    archive = os.path.join(
+        "bench_history", time.strftime("%Y-%m-%d_%H%M%S") + f"_{tag}.json"
+    )
+    with open(archive, "w") as f:
+        json.dump(result, f)
+    log("full result JSON: " + json.dumps(result))
+    log(f"archived to {archive}")
+
+    compact = copy.deepcopy(result)
+    sc = compact.get("scaling")
+    if sc:
+        # per-sample arrays + derivable rates live in the archive
+        for k in ("samples", "pinned_docs_per_sec", "mp_ceiling_docs_per_sec"):
+            sc.pop(k, None)
+        pe = sc.get("paired_efficiency_4_to_16") or {}
+        sc["paired_efficiency_4_to_16"] = {
+            "n": len(pe.get("samples") or []),
+            "best": pe.get("best"),
+            "median": pe.get("median"),
+        }
+    compact["queries"] = {
+        k: round(v, 2) for k, v in compact.get("queries", {}).items()
+    }
+    compact["detail"] = archive
+    # hard guard: the driver's stdout-tail capture window is ~2000 chars —
+    # degrade gracefully rather than ever emitting an unparseable record
+    def _trim_svc():
+        (compact.get("scaling") or {}).pop("spark_vs_ceiling", None)
+
+    def _trim_skew():
+        compact.pop("skew", None)
+
+    def _trim_queries():
+        compact["queries"] = {}
+
+    for trim in (_trim_svc, _trim_skew, _trim_queries):
+        if len(json.dumps(compact, separators=(",", ":"))) <= 1900:
+            break
+        trim()
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
+
     # BENCH.md is the artifact of record — only FULL runs (query sweep on)
     # rewrite it; scaling-only diagnostic hunts would otherwise clobber the
     # headline/query table with a partial (often throttled-window) run.
