@@ -113,7 +113,11 @@ def _sql_extract_delta() -> str:
 def _sql_outlinks() -> str:
     from dhtmlparser3_spark.sources.links import links_oracle_sql
 
-    return f"SELECT * FROM {links_oracle_sql()}"
+    return f"""
+      SELECT *, 'direct' AS mode FROM {links_oracle_sql('direct')}
+      UNION ALL
+      SELECT *, 'subtree' AS mode FROM {links_oracle_sql('subtree')}
+    """
 
 
 def _sql_host_graph() -> str:
@@ -1060,13 +1064,17 @@ def _q_asof_join(spark, sf_dir):
 def _q_outlinks(spark, sf_dir):
     """<a href> extraction over deterministic link-bearing pages
     (sources/links.py): ONE pandas-UDF parse to the node table, then pure
-    Catalyst — a-tag filter, attrs href lookup, parent/child anchor-text
-    join.  Oracle: the closed-form link formula the pages were built from,
-    so the parse is verified end-to-end."""
+    Catalyst — a-tag filter, attrs href lookup, and BOTH anchor-text
+    semantics over the same parsed table (mode column): "direct" = text
+    children of the <a> only (nested ``<a><b>l0</b></a>`` rows, 1 in 4
+    docs' anchor 0, gather ''), "subtree" = interval-containment join
+    over [a.node_id, a.subtree_end) (real-pages semantics; gathers 'l0').
+    Oracle: the closed-form link formula the pages were built from, per
+    mode, so the parse AND both gathers are verified end-to-end."""
     from dhtmlparser3_spark.functions.links import outlinks
     from dhtmlparser3_spark.sources.links import build_link_pages
 
-    return outlinks(build_link_pages(spark, sf_dir))
+    return outlinks(build_link_pages(spark, sf_dir), anchor_mode="both")
 
 
 def _q_host_graph(spark, sf_dir):

@@ -315,8 +315,21 @@ def build_arena(tokens: Iterable[tuple], case_insensitive: bool = True) -> Arena
 
 def _reshape_non_pair_tags(a: Arena, stack: List[int], closed: int) -> int:
     """parser.py:95-135 — everything above ``closed`` on the stack becomes
-    non-pair; content is hoisted to the enclosing element, deepest first."""
-    ci = stack.index(closed) + 1
+    non-pair; content is hoisted to the enclosing element, deepest first.
+
+    The split point is found by *equality* search, exactly like the
+    reference's ``element_stack.index(closed_element)`` (parser.py:113):
+    list.index uses Tag.__eq__, so when the stack holds duplicate equal
+    open tags (``<div><div><p>x</div>``) the reshape cuts at the FIRST
+    equal one — the outermost ``<div>`` becomes the closed pair and the
+    inner duplicate is itself reshaped to non-pair (with ``parent`` still
+    pointing at the identity-matched innermost node, also reference
+    behavior).  An identity index here diverges on that input."""
+    ci = 0
+    for i, x in enumerate(stack):
+        if x == closed or a.tag_equal(x, closed):
+            ci = i + 1
+            break
     non_pairs = stack[ci:]
     del stack[ci:]
 

@@ -37,29 +37,39 @@ PR_SCALE = 10**12
 _LOCAL_NODES_MAX = 100_000
 
 
-def outlinks(pages: DataFrame) -> DataFrame:
+def outlinks(pages: DataFrame, anchor_mode: str = "direct") -> DataFrame:
     """(url, href, anchor) per <a href=…> tag, document order per page.
+
+    ``anchor_mode``:
+      * ``"direct"`` (default, the historical behavior): anchor text from
+        DIRECT text children of the <a> node only — nested markup
+        (``<a><b>text</b></a>``) yields an empty anchor.
+      * ``"subtree"``: anchor text from EVERY text node inside the <a>
+        subtree, document order — the real-pages semantics.  Relationally
+        this is the pre-order interval-containment join (same machinery
+        as operators/nodes.descendant_join / the descendant selectors):
+        ``a.node_id < t.node_id < a.subtree_end``, executed as a
+        per-document hash join with a codegen'd range filter — no second
+        parse, no traversal.
+      * ``"both"``: union of the two with a ``mode`` column, over ONE
+        parsed node table (the driver row pins both semantics at the
+        cost of a single parse).
 
     The node table is projected to the two node kinds the query touches
     and PERSISTED before the a-tag/text self-join: Spark re-evaluates an
     unpersisted subplan once per plan reference, and this plan references
-    the UDF output twice (PLANS.md §6b).  The cache lives until the
-    session's ContextCleaner reclaims it — callers own cleanup (the
+    the UDF output at least twice (PLANS.md §6b).  The cache lives until
+    the session's ContextCleaner reclaims it — callers own cleanup (the
     returned plan references it lazily, so this function cannot
     unpersist); at production scale, materialize the node table to
     storage once and run every DOM query against it instead.
-
-    Anchor text is gathered from DIRECT text children of the <a> node
-    only — nested markup (``<a><b>text</b></a>``) yields an empty anchor.
-    Correct for the generated corpus and its closed-form oracle; real
-    pages want the subtree_end interval-containment join (operators/
-    nodes.descendant_join) to gather descendant text.
     """
+    assert anchor_mode in ("direct", "subtree", "both"), anchor_mode
+    fields = ["node_id", "parent_id", "kind", "name", "attrs", "text"]
+    if anchor_mode != "direct":
+        fields.append("subtree_end")
     nt = (
-        node_table(
-            pages,
-            fields=["node_id", "parent_id", "kind", "name", "attrs", "text"],
-        )
+        node_table(pages, fields=fields)
         .where(F.col("kind").isin(KIND_TAG, KIND_TEXT))
         .persist()
     )
@@ -69,14 +79,11 @@ def outlinks(pages: DataFrame) -> DataFrame:
     href = F.get(
         F.filter(F.col("attrs"), lambda a: F.lower(a["key"]) == "href"), 0
     )["value"]
-    a_tags = nt.where(match_predicate("a")).select(
-        "url", F.col("node_id").alias("a_id"), href.alias("href")
-    ).where(F.col("href").isNotNull())
-    texts = nt.where(F.col("kind") == KIND_TEXT).select(
-        "url",
-        F.col("parent_id").alias("a_id"),
-        F.col("node_id"),
-        "text",
+    a_cols = ["url", F.col("node_id").alias("a_id"), href.alias("href")]
+    if anchor_mode != "direct":
+        a_cols.append(F.col("subtree_end").alias("a_subtree_end"))
+    a_tags = nt.where(match_predicate("a")).select(*a_cols).where(
+        F.col("href").isNotNull()
     )
     anchor = F.array_join(
         F.transform(
@@ -85,12 +92,49 @@ def outlinks(pages: DataFrame) -> DataFrame:
         ),
         "",
     )
-    return (
-        a_tags.join(texts, ["url", "a_id"], "left")
-        .groupBy("url", "a_id", "href")
-        .agg(F.coalesce(anchor, F.lit("")).alias("anchor"))
-        .drop("a_id")
-    )
+
+    def gather(mode):
+        if mode == "direct":
+            texts = nt.where(F.col("kind") == KIND_TEXT).select(
+                "url",
+                F.col("parent_id").alias("a_id"),
+                F.col("node_id"),
+                "text",
+            )
+            joined = a_tags.drop("a_subtree_end").join(
+                texts, ["url", "a_id"], "left"
+            )
+        else:
+            texts = nt.where(F.col("kind") == KIND_TEXT).select(
+                F.col("url").alias("t_url"),
+                F.col("node_id").alias("t_id"),
+                "text",
+            )
+            # the range predicate must sit IN the left-join condition — as
+            # a post-join filter it would drop anchors whose document has
+            # text nodes but none inside the <a> subtree
+            joined = a_tags.join(
+                texts,
+                (F.col("url") == F.col("t_url"))
+                & (F.col("t_id") > F.col("a_id"))
+                & (F.col("t_id") < F.col("a_subtree_end")),
+                "left",
+            ).select(
+                "url", "a_id", "href", F.col("t_id").alias("node_id"), "text"
+            )
+        return (
+            joined.groupBy("url", "a_id", "href")
+            .agg(F.coalesce(anchor, F.lit("")).alias("anchor"))
+            .drop("a_id")
+        )
+
+    if anchor_mode == "both":
+        return gather("direct").withColumn(
+            "mode", F.lit("direct")
+        ).unionByName(
+            gather("subtree").withColumn("mode", F.lit("subtree"))
+        )
+    return gather(anchor_mode)
 
 
 def host_edges(links: DataFrame) -> DataFrame:

@@ -8,7 +8,11 @@ by actually parsing the html (relational find('a') over the node table).
 
 Per doc ``d``: ``1 + d % 3`` anchors; anchor ``j`` targets host
 ``(d*7 + 13*j) % 97`` — a deterministic cross-host graph over the same 97
-hosts as sources/pages.URL_FMT.
+hosts as sources/pages.URL_FMT.  Anchor 0 of every ``d % 4 == 0`` doc is
+NESTED (``<a><b>l0</b></a>``) — real pages wrap anchor text in markup, and
+the nested rows split the two anchor semantics: direct-children gathering
+yields '' there, subtree gathering yields 'l0'
+(functions/links.outlinks ``anchor_mode``).
 """
 
 from __future__ import annotations
@@ -31,15 +35,21 @@ def build_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(docs)
     j = F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+    nested = lambda i: (i == 0) & (F.col("doc_id") % 4 == 0)  # noqa: E731
     anchors = F.array_join(
         F.transform(
             j,
-            lambda i: F.format_string(
-                '<a href="' + HREF_FMT + '" rel="x">l%d</a>',
-                ((F.col("doc_id") * 7 + i * 13) % N_HOSTS).cast("int"),
-                F.col("doc_id"),
-                i,
-                i,
+            lambda i: F.concat(
+                F.format_string(
+                    '<a href="' + HREF_FMT + '" rel="x">',
+                    ((F.col("doc_id") * 7 + i * 13) % N_HOSTS).cast("int"),
+                    F.col("doc_id"),
+                    i,
+                ),
+                F.when(
+                    nested(i), F.format_string("<b>l%d</b>", i)
+                ).otherwise(F.format_string("l%d", i)),
+                F.lit("</a>"),
             ),
         ),
         "",
@@ -62,8 +72,13 @@ def build_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def links_oracle_sql() -> str:
-    """DuckDB closed form of the outlink set: (url, href, anchor)."""
+def links_oracle_sql(mode: str = "direct") -> str:
+    """DuckDB closed form of the outlink set: (url, href, anchor).
+
+    ``mode="direct"``: nested anchors (j=0 of d%4==0 docs) gather '' —
+    the <b> child owns the text.  ``mode="subtree"``: every anchor
+    gathers its full subtree text ('l%d' always)."""
+    assert mode in ("direct", "subtree"), mode
     url = (
         f"printf('{URL_FMT}', (doc_id % {N_HOSTS})::INT, source, doc_id)"
     )
@@ -71,8 +86,14 @@ def links_oracle_sql() -> str:
         f"printf('{HREF_FMT}', ((doc_id * 7 + 13 * j) % {N_HOSTS})::INT, "
         "doc_id, j)"
     )
+    anchor = "printf('l%d', j)"
+    if mode == "direct":
+        anchor = (
+            "CASE WHEN j = 0 AND doc_id % 4 = 0 THEN '' "
+            f"ELSE {anchor} END"
+        )
     return f"""(
-      SELECT {url} AS url, {href} AS href, printf('l%d', j) AS anchor
+      SELECT {url} AS url, {href} AS href, {anchor} AS anchor
       FROM (
         SELECT doc_id, source,
                unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS j

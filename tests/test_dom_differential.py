@@ -124,3 +124,33 @@ def test_fuzz_dom(s):
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
     compare_dom(s)
+
+
+# Adversarial generator biased toward the B2/B3 reshape interactions
+# (engine/dom.py _reshape_non_pair_tags / _move_content_to_parent): whole
+# structural FRAGMENTS — mis-nested pairs, stray closers, unclosed tags,
+# comments (incl. unterminated), entity runs — composed into one document,
+# where character-soup fuzz (HTMLISH above) only rarely forms nested tags.
+_FRAGMENTS = st.sampled_from(
+    [
+        "<b>", "</b>", "<i>", "</i>", "<div>", "</div>", "<p>", "</p>",
+        "<br>", "<img src=x>", "<b><i>", "</b></i>", "<div><p>x",
+        "</p></div>", "<b>x</b>", "<!-- c -->", "<!-- unterminated",
+        "&amp;", "&#65;", "&bogus;", "&;", "x", " ", "\n", "<",
+        ">", "</>", "<b b=1 b=2>", "<B>", "</B>", "<a href='q'>t",
+    ]
+)
+
+
+@given(st.lists(_FRAGMENTS, min_size=1, max_size=12))
+@settings(
+    max_examples=1000,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_fuzz_dom_reshape_adversarial(frags):
+    import sys
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    compare_dom("".join(frags))

@@ -15,23 +15,37 @@ def _pages(spark, htmls):
 
 @pytest.mark.spark
 def test_outlinks_edge_cases(spark):
-    out = outlinks(
-        _pages(
-            spark,
-            [
-                # no-href anchor dropped; ci HREF key found; unquoted value
-                '<a name="x">skip</a><a HREF=/rel>r</a>',
-                # anchor text = DIRECT text children, document order
-                '<a href="https://t.example/">pre<b>bold</b>post</a>',
-                "<p>no links</p>",
-            ],
-        )
-    ).collect()
+    corpus = [
+        # no-href anchor dropped; ci HREF key found; unquoted value
+        '<a name="x">skip</a><a HREF=/rel>r</a>',
+        # direct mode: DIRECT text children only, document order;
+        # subtree mode: every text node in the <a> interval
+        '<a href="https://t.example/">pre<b>bold</b>post</a>',
+        "<p>no links</p>",
+        # fully-nested anchor text: direct gathers '', subtree gathers it
+        '<a href="https://n.example/"><b><i>deep</i></b></a>',
+    ]
+    out = outlinks(_pages(spark, corpus)).collect()
     got = sorted((r.url, r.href, r.anchor) for r in out)
     assert got == [
         ("https://h0.example/0.html", "/rel", "r"),
         ("https://h1.example/1.html", "https://t.example/", "prepost"),
+        ("https://h3.example/3.html", "https://n.example/", ""),
     ]
+    sub = outlinks(_pages(spark, corpus), anchor_mode="subtree").collect()
+    got_sub = sorted((r.url, r.href, r.anchor) for r in sub)
+    assert got_sub == [
+        ("https://h0.example/0.html", "/rel", "r"),
+        ("https://h1.example/1.html", "https://t.example/", "preboldpost"),
+        ("https://h3.example/3.html", "https://n.example/", "deep"),
+    ]
+    both = outlinks(_pages(spark, corpus), anchor_mode="both").collect()
+    assert sorted(
+        (r.url, r.href, r.anchor) for r in both if r.mode == "direct"
+    ) == got
+    assert sorted(
+        (r.url, r.href, r.anchor) for r in both if r.mode == "subtree"
+    ) == got_sub
 
 
 @pytest.mark.spark
