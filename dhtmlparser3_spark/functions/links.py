@@ -159,8 +159,9 @@ def pagerank(edges: DataFrame, iters: int = 5, damp_pct: int = 85) -> DataFrame:
       per_link(u) = rank(u) div outdeg_links(u)
       rank'(v)    = ((100-damp) * base + damp * Σ per_link(u)·n_e) div 100
     """
-    # node-set materialization, sized by a cheap count() first (the driver
-    # scalar we pay anyway for n_hosts):
+    # node-set materialization, bounded-probe first (ONE driver action on
+    # the common path — limit(N+1).collect() returns the FULL set iff it
+    # has ≤ N members, and N+1 rows iff it overflows):
     #   * small host set (≤ _LOCAL_NODES_MAX) → collect to a LOCAL relation,
     #     which broadcasts into every per-iteration join without pinning
     #     session-lifetime cache blocks (the round-2 persist() here leaked
@@ -168,21 +169,24 @@ def pagerank(edges: DataFrame, iters: int = 5, damp_pct: int = 85) -> DataFrame:
     #   * large host set (real-web graphs run 10^8+ hosts at the 10^12-doc
     #     design point — far beyond driver memory) → keep the DISTRIBUTED
     #     DataFrame, localCheckpoint(eager) so the distinct is computed
-    #     once and the per-iteration lineage stays flat.  Checkpoint blocks
-    #     are reclaimed by the ContextCleaner when the RDD is GC'd — the
-    #     same caller-owned-lifetime caveat as functions/graph.py.
+    #     once and the per-iteration lineage stays flat, and pay the
+    #     count() only on this path.  Checkpoint blocks are reclaimed by
+    #     the ContextCleaner when the RDD is GC'd — the same
+    #     caller-owned-lifetime caveat as functions/graph.py.
     nodes_dist = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
     )
-    n_hosts = nodes_dist.count()
-    if n_hosts <= _LOCAL_NODES_MAX:
+    probe = nodes_dist.limit(_LOCAL_NODES_MAX + 1).collect()
+    if len(probe) <= _LOCAL_NODES_MAX:
         spark = edges.sparkSession
-        hosts = sorted(r[0] for r in nodes_dist.collect())
+        hosts = sorted(r[0] for r in probe)
+        n_hosts = len(hosts)
         nodes = spark.createDataFrame([(h,) for h in hosts], "host string")
     else:
         nodes = nodes_dist.localCheckpoint(eager=True)
+        n_hosts = nodes.count()
     base = PR_SCALE // n_hosts
     deg = edges.groupBy("src").agg(F.sum("n_links").alias("outdeg"))
     ranks = nodes.select("host", F.lit(base).cast("long").alias("rank"))
