@@ -115,3 +115,30 @@ def test_host_topk_plan_uses_window_group_limit(spark):
     )
     plan = _plan(top)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.spark
+def test_simhash_plan_filters_before_distinct(spark):
+    """The hamming predicate must be applied BELOW the pair-dedup
+    exchange: a pair surfaces once per shared chunk-bucket, so filtering
+    first shrinks the distinct's shuffle by the far-pair mass.  Pin: in
+    the optimized plan, the hamming filter appears on the exchange's
+    INPUT side (no HashAggregate between the filter and the generate)."""
+    from dhtmlparser3_spark.functions.dedup import simhash_pairs
+
+    plan = _plan(simhash_pairs(_docs(spark), n=3, max_hamming=3))
+    # optimizer keeps the filter below the partial aggregate of the
+    # distinct: scanning top-down, the FIRST hamming mention must come
+    # after (deeper than) the last Exchange-feeding aggregate — assert
+    # via ordering of plan lines: the deepest 'bit_count' (the hamming
+    # expression) line index is greater than the first 'Exchange' line
+    # index produced by the distinct
+    lines = plan.splitlines()
+    flt = [
+        i
+        for i, ln in enumerate(lines)
+        if "Filter" in ln and "hamming" in ln and "<= 3" in ln
+    ]
+    agg = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert flt, plan  # the hamming filter exists as a Filter node
+    assert agg and min(agg) < min(flt), plan  # distinct agg sits ABOVE it
