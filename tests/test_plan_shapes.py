@@ -142,3 +142,19 @@ def test_simhash_plan_filters_before_distinct(spark):
     agg = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
     assert flt, plan  # the hamming filter exists as a Filter node
     assert agg and min(agg) < min(flt), plan  # distinct agg sits ABOVE it
+
+
+@pytest.mark.spark
+def test_outlinks_both_modes_single_parse(spark):
+    """anchor_mode="both" runs TWO gathers (direct + subtree) over ONE
+    persisted node table: still exactly one Arrow UDF evaluation behind
+    the cache, referenced by both branches."""
+    from dhtmlparser3_spark.functions.links import outlinks
+
+    pages = spark.createDataFrame(
+        [("u", b'<a href="https://t.example/"><b>x</b></a>')],
+        "url string, html binary",
+    )
+    _assert_udf_only_behind_cache(
+        _plan(outlinks(pages, anchor_mode="both")), min_refs=3
+    )
