@@ -1162,11 +1162,13 @@ def _q_ann_recall(spark, sf_dir):
     """Driver-visible ANN quality: recall@5 of each approximate index (LSH,
     IVF) against the exact brute-force top-k, computed inside Spark; the
     DuckDB oracle pins the query count (from the table) and a PER-METHOD
-    recall floor at what each index actually delivers — LSH ≥90 (pytest
-    pins ≥0.9; measured 1.0 at sf0.01) and IVF ≥75 (deterministic 0.80 at
-    sf0.01 with n_probe=4 of 8 cells — the coarse-quantization trade) —
-    so a silent recall regression in either index turns this row red.
-    Round 3 used a blanket ≥60 floor; these are the tightened bounds."""
+    recall floor at what each index delivers AT EVERY SHIPPED SCALE
+    FACTOR (deterministic, measured: LSH 98/100/100 and IVF 66/80/72.5 at
+    sf0.001/0.01/0.1) — LSH ≥90, IVF ≥60 (n_probe=4 of 8 cells on
+    near-random synthetic embeddings is weakly selective; the
+    coarse-quantization trade).  A floor calibrated only at the driver's
+    sf0.01 (e.g. IVF ≥75) would falsely redden the row at the other
+    tiers users run this query at."""
     from dhtmlparser3_spark.functions.similarity import (
         cosine_topk,
         ivf_ann_topk,
@@ -1194,7 +1196,7 @@ def _q_ann_recall(spark, sf_dir):
             .alias("meets_floor"),
         )
 
-    return one("ivf", ivf_ann_topk, 75).unionByName(
+    return one("ivf", ivf_ann_topk, 60).unionByName(
         one("lsh", lsh_ann_topk, 90)
     )
 

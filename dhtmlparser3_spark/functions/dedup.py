@@ -322,14 +322,19 @@ def cap_buckets(
     the would-have-overflowed count is reported either way.
 
     The cap is ON by default in every caller (OOM-safety beats tail
-    recall at 10^12 docs), and overflow is ALWAYS accounted: when the
+    recall at 10^12 docs), and overflow is accounted by default: when the
     caller passes no ``observation``, a fresh one is created and attached
     anyway, and exposed as ``_overflow_observation`` on the returned
     DataFrame (the pair-producing callers re-attach it to their final
-    result) — after any action, ``overflow_counts(df)`` returns
-    ``{n_overflow_buckets, n_buckets}`` and warns when truncation fired,
-    so a silent-drop corpus is never silent at runtime.  Semantics of a
-    drop: members beyond the cap are near-identical to kept members by
+    result) — after an action on THAT DataFrame, ``overflow_counts(df)``
+    returns ``{n_overflow_buckets, n_buckets}`` and warns when truncation
+    actually fired.  Contract limits, stated plainly: the attachment is a
+    Python attribute on the returned object — a caller-side
+    transformation (``.where``, ``.select``, …) returns a NEW DataFrame
+    without it (keep a reference to the producer's return value), and
+    ``Observation.get`` BLOCKS until the attached plan has executed, so
+    call ``overflow_counts`` only after an action.  Semantics of a drop:
+    members beyond the cap are near-identical to kept members by
     construction (they share the bucket), and the exact dedup stage
     upstream already collapses the byte-identical mass that creates
     degenerate buckets.
@@ -354,21 +359,28 @@ def cap_buckets(
             "_overflow"
         )
     out._overflow_observation = observation
+    # cap=None measures would-be overflow vs the DEFAULT cap but slices
+    # nothing — overflow_counts must not claim truncation there
+    out._overflow_truncating = cap is not None
     return out
 
 
 def overflow_counts(df: DataFrame) -> dict | None:
-    """Post-action overflow accounting for any DataFrame descended from
-    :func:`cap_buckets` (the producing function re-attaches the
-    observation as ``df._overflow_observation``).  Call AFTER an action —
-    ``Observation.get`` blocks until the attached plan has executed.
-    Returns ``{n_overflow_buckets, n_buckets}`` (warning via ``warnings``
-    when truncation fired) or None when no observation is attached."""
+    """Post-action overflow accounting for the DataFrame RETURNED BY a
+    cap_buckets-based producer (the attribute does not survive further
+    caller-side transformations — see cap_buckets).  Call AFTER an action
+    on that DataFrame — ``Observation.get`` blocks until the attached
+    plan has executed.  Returns ``{n_overflow_buckets, n_buckets}``
+    (warning via ``warnings`` when truncation actually fired — i.e. a
+    bucket exceeded an ACTIVE cap; with ``cap=None`` the counts report
+    would-be overflow vs the default cap and no warning is emitted) or
+    None when no observation is attached."""
     obs = getattr(df, "_overflow_observation", None)
     if obs is None:
         return None
     got = obs.get
-    if got.get("n_overflow_buckets") or 0:
+    truncating = getattr(df, "_overflow_truncating", True)
+    if truncating and (got.get("n_overflow_buckets") or 0):
         import warnings
 
         warnings.warn(
@@ -479,6 +491,7 @@ def minhash_lsh_pairs(
     )
     out = _verify_candidates(arrays, cand).where(F.col("jacc_pct") >= tau_pct)
     out._overflow_observation = buckets._overflow_observation
+    out._overflow_truncating = buckets._overflow_truncating
     return out
 
 
@@ -580,4 +593,5 @@ def simhash_pairs(
         .distinct()
     )
     out._overflow_observation = buckets._overflow_observation
+    out._overflow_truncating = buckets._overflow_truncating
     return out

@@ -446,20 +446,24 @@ def make_extract_iterator(
     ``_WORKER_BATCH_BYTES``) so output accumulation stays bounded even on
     giant-document batches."""
     bound = _WORKER_BATCH_BYTES if max_slice_bytes is None else max_slice_bytes
-    out_cols = [
-        "extracted_text",
-        "main_text",
-        "n_nodes",
-        "n_tags",
-        "n_text_nodes",
-        "n_chars_out",
-        "spans",
-        "error",
-    ]
+    out_cols = list(_EXTRACT_COLS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sizes = [len(h) if h is not None else 0 for h in pdf["html"]]
+            # BYTE lengths: the html column is binary in the standard
+            # pipeline (len == bytes); a str column (extract_series
+            # accepts both) counts characters, under-reading multibyte
+            # text by up to 4x — encode to measure those
+            sizes = [
+                0
+                if h is None
+                else (
+                    len(h)
+                    if isinstance(h, (bytes, bytearray))
+                    else len(h.encode("utf-8", "replace"))
+                )
+                for h in pdf["html"]
+            ]
             for start, length in byte_slices(sizes, bound):
                 part = (
                     pdf

@@ -213,6 +213,7 @@ def embedding_dup_pairs(
     )
     out = _cosine_verify_pairs(corpus, cand, tau)
     out._overflow_observation = grouped._overflow_observation
+    out._overflow_truncating = grouped._overflow_truncating
     return out
 
 

@@ -200,6 +200,17 @@ def test_bucket_cap_default_observation_warns(spark):
     # a frame that never went through cap_buckets has nothing attached
     assert overflow_counts(docs) is None
 
+    # cap=None: counts report would-be overflow vs the DEFAULT cap but
+    # NOTHING was sliced — no truncation warning may fire (recall is
+    # exact; a false warning would tell operators they lost recall)
+    unc = minhash_lsh_pairs(docs, n=3, tau_pct=60, bucket_cap=None)
+    unc.count()
+    with warnings.catch_warnings(record=True) as w3:
+        warnings.simplefilter("always")
+        got3 = overflow_counts(unc)
+    assert got3 is not None
+    assert not w3, [str(x.message) for x in w3]
+
 
 @pytest.mark.spark
 def test_bucket_cap_inactive_below_cap(spark, duck):
