@@ -78,24 +78,75 @@ def _plan_layout(df: DataFrame) -> tuple[int, bool]:
     return max(widths, default=0), bool(_COALESCE.search(text))
 
 
+def _governing_layout_nodes(df: DataFrame) -> list[tuple[str, int | None]]:
+    """The GOVERNING layout nodes of the analyzed logical plan: walk the
+    tree top-down via py4j and record each Repartition /
+    RepartitionByExpression that has NO layout ancestor (the topmost one
+    on each root-to-leaf path is what determines that path's output
+    partitioning; anything beneath it is overridden).  Returns
+    ``[("coalesce"|"shuffle", numPartitions|None), ...]`` — None width for
+    ``repartition(col)`` without an explicit count (defaults to
+    spark.sql.shuffle.partitions at runtime).  Raises on sessions where
+    the JVM plan is unreachable (e.g. Spark Connect) — callers fall back
+    to the text probe."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    tops: list[tuple[str, int | None]] = []
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name == "Repartition":
+            kind = "shuffle" if node.shuffle() else "coalesce"
+            tops.append((kind, int(node.numPartitions())))
+            continue  # governing node — its subtree is overridden
+        if name == "RepartitionByExpression":
+            opt = node.optNumPartitions()
+            w = int(opt.get()) if opt.isDefined() else None
+            tops.append(("shuffle", w))
+            continue
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+    return tops
+
+
 def has_parallelism(df: DataFrame, threshold: int) -> bool:
     """Does ``df``'s layout provide at least ``threshold``-way parallelism
-    for the map stage that will consume it?  Pure metadata — file-scan
-    split estimate OR an explicit mid-plan shuffle repartition of that
-    width (so a caller that already repartitioned wide is recognized and
-    not re-shuffled).  A plan containing a coalesce answers False EVEN
-    when a wide repartition is also present: text probes cannot order the
-    two nodes, and ``repartition(N).coalesce(1)`` judged wide would make
-    spread() no-op on a 1-partition layout — the exact Amdahl hazard it
-    exists to prevent.  One redundant shuffle on the reverse ordering
-    (``coalesce(1).repartition(N)``) is the cheap direction of that
-    ambiguity.  No ``df.rdd.getNumPartitions()``: plan-to-RDD conversion
-    per call, sidesteps AQE statistics."""
-    width, coalesced = _plan_layout(df)
-    if coalesced:
-        return False
-    if width >= threshold:
-        return True
+    for the map stage that will consume it?  Pure metadata, no execution.
+
+    Primary probe: walk the analyzed plan TREE (py4j) and decide from the
+    GOVERNING (topmost-per-path) layout nodes — ordering is exact, so
+    ``repartition(N).coalesce(1)`` is correctly narrow (the coalesce
+    governs) while ``coalesce(1).repartition(N)`` is correctly wide, and
+    a governing NARROW repartition (``repartition(2)``) answers False
+    even over wide file splits (it overrides them).  When no layout node
+    governs, fall back to the file-scan split estimate.
+
+    Fallback probe (plan tree unreachable, e.g. Spark Connect): the plan-
+    TEXT regexes — unordered, so any coalesce answers False conservatively
+    (one redundant shuffle is the cheap direction of that ambiguity).
+    No ``df.rdd.getNumPartitions()``: plan-to-RDD conversion per call,
+    sidesteps AQE statistics."""
+    try:
+        tops = _governing_layout_nodes(df)
+    except Exception:  # noqa: BLE001 — connect-only sessions etc.
+        width, coalesced = _plan_layout(df)
+        if coalesced:
+            return False
+        if width >= threshold:
+            return True
+        return _scan_split_estimate(df) >= threshold
+    if tops:
+        default_w = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        widths = []
+        for kind, w in tops:
+            if kind == "coalesce":
+                return False
+            widths.append(default_w if w is None else w)
+        # every root-to-leaf path must be wide enough (a join/union with
+        # one narrow governing branch still bottlenecks that branch)
+        return min(widths) >= threshold
     return _scan_split_estimate(df) >= threshold
 
 

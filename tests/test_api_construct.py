@@ -128,23 +128,38 @@ def test_layout_spread(spark):
 
 
 def test_layout_probe_edge_cases(spark):
-    """has_parallelism must (a) answer False whenever a coalesce appears,
-    even alongside a wide repartition (probe text cannot order the nodes —
-    repartition(N).coalesce(1) judged wide would Amdahl-cap the map
-    stage), and (b) capture the repartition width when the partition
-    expressions themselves print brackets (array element access)."""
+    """has_parallelism decides from the GOVERNING (topmost) layout node of
+    the analyzed plan tree: exact ordering for repartition/coalesce
+    combinations in either order, narrow governing repartitions override
+    wide file splits, and bracket-printing partition expressions don't
+    break the fallback text probe."""
     from pyspark.sql import functions as F
 
-    from dhtmlparser3_spark.plans.layout import has_parallelism
+    from dhtmlparser3_spark.plans.layout import (
+        _plan_layout,
+        has_parallelism,
+    )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     wide = docs.repartition(64, F.col("doc_id"))
     assert has_parallelism(wide, 64)
     assert not has_parallelism(wide.coalesce(1), 2)
-    # both nodes present -> conservative False (ADVICE r3)
+    # repartition THEN coalesce: the coalesce governs -> narrow (judging
+    # it wide would Amdahl-cap the map stage on 1 partition, ADVICE r3)
     assert not has_parallelism(wide.coalesce(1), 64)
+    # coalesce THEN repartition: the repartition governs -> wide (the
+    # tree walk resolves the ordering the text probe cannot)
+    assert has_parallelism(docs.coalesce(1).repartition(64, "doc_id"), 64)
+    # a NARROW governing repartition overrides however-wide file splits
+    assert not has_parallelism(docs.repartition(2), 4)
+    # repartition(col) without a count governs at shuffle.partitions
+    n_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert has_parallelism(docs.repartition("doc_id"), n_default)
+    assert not has_parallelism(docs.repartition("doc_id"), n_default + 1)
     # bracket-printing partition expression: split(text)[0] renders as
     # "...[0]" inside the RepartitionByExpression arg list — the width
-    # anchor must still reach the trailing ", 64"
+    # anchor of the FALLBACK text probe must still reach the trailing
+    # ", 64" (the primary tree walk never parses text)
     bracketed = docs.repartition(64, F.split(F.col("text"), " ")[0])
     assert has_parallelism(bracketed, 64)
+    assert _plan_layout(bracketed)[0] == 64  # fallback regex direct
