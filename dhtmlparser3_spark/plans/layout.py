@@ -63,91 +63,109 @@ _REPART_BY_EXPR = re.compile(
 _COALESCE = re.compile(r"\bRepartition (\d+), false\b")
 
 
-def _plan_layout(df: DataFrame) -> tuple[int, bool]:
-    """(max explicit shuffle-repartition width in the analyzed plan — 0 if
-    none, has_coalesce).  Coalesce NARROWS the layout, so it must never
-    count as an existing spread (round-2 code matched the bare substring
-    "Repartition", which made spread() silently no-op on coalesce(1)
-    plans — the exact Amdahl hazard it exists to prevent)."""
+def _plan_layout(df: DataFrame) -> tuple[int, bool] | None:
+    """Text-probe fallback: (max explicit shuffle-repartition width in the
+    analyzed plan — 0 if none, has_coalesce), or None when even the plan
+    TEXT is unreachable (e.g. Spark Connect) — callers must then answer
+    conservatively rather than pretending the plan is layout-free.
+    Coalesce NARROWS the layout, so it must never count as an existing
+    spread (round-2 code matched the bare substring "Repartition", which
+    made spread() silently no-op on coalesce(1) plans — the exact Amdahl
+    hazard it exists to prevent)."""
     try:
         text = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # noqa: BLE001 — e.g. connect-only sessions
-        return 0, False
+        return None
     widths = [int(m) for m in _REPART_SHUFFLE.findall(text)]
     widths += [int(m) for m in _REPART_BY_EXPR.findall(text) if m]
     return max(widths, default=0), bool(_COALESCE.search(text))
 
 
-def _governing_layout_nodes(df: DataFrame) -> list[tuple[str, int | None]]:
-    """The GOVERNING layout nodes of the analyzed logical plan: walk the
-    tree top-down via py4j and record each Repartition /
-    RepartitionByExpression that has NO layout ancestor (the topmost one
-    on each root-to-leaf path is what determines that path's output
-    partitioning; anything beneath it is overridden).  Returns
-    ``[("coalesce"|"shuffle", numPartitions|None), ...]`` — None width for
-    ``repartition(col)`` without an explicit count (defaults to
-    spark.sql.shuffle.partitions at runtime).  Raises on sessions where
-    the JVM plan is unreachable (e.g. Spark Connect) — callers fall back
-    to the text probe."""
+def _governing_layout(df: DataFrame, threshold: int) -> tuple[list, bool]:
+    """Governing layout widths of the analyzed logical plan, by walking
+    the tree top-down via py4j.  Per root-to-leaf path, the TOPMOST
+    layout node determines the path's output partitioning:
+
+    * shuffle repartition with an explicit count → that width governs;
+      its subtree is overridden (the walk stops there);
+    * ``repartition(col)`` without a count → width 0 (conservative: AQE
+      coalesces column-only repartition shuffles, so the runtime width
+      can land on 1 regardless of spark.sql.shuffle.partitions);
+    * coalesce(n) with n < threshold → hard narrow (width n governs);
+      with n ≥ threshold it is width-TRANSPARENT (output = min(n,
+      below), and n clears the bar, so the walk continues below it);
+    * a leaf reached without passing any layout node → that path is
+      governed by its scan — reported via the ``ungoverned`` flag so the
+      caller folds in the file-split estimate (a union/join with one
+      bare-scan branch must not be judged wide by its other branch).
+
+    Raises on sessions where the JVM plan is unreachable (Spark
+    Connect) — callers fall back to the text probe."""
     stack = [df._jdf.queryExecution().analyzed()]
-    tops: list[tuple[str, int | None]] = []
+    widths: list[int] = []
+    ungoverned = False
     while stack:
         node = stack.pop()
         name = node.getClass().getSimpleName()
         if name == "Repartition":
-            kind = "shuffle" if node.shuffle() else "coalesce"
-            tops.append((kind, int(node.numPartitions())))
-            continue  # governing node — its subtree is overridden
-        if name == "RepartitionByExpression":
+            n = int(node.numPartitions())
+            if node.shuffle() or n < threshold:
+                widths.append(n)
+                continue
+            # width-transparent coalesce: descend, the subtree decides
+        elif name == "RepartitionByExpression":
             opt = node.optNumPartitions()
-            w = int(opt.get()) if opt.isDefined() else None
-            tops.append(("shuffle", w))
+            widths.append(int(opt.get()) if opt.isDefined() else 0)
             continue
         ch = node.children()
+        if ch.length() == 0:
+            ungoverned = True
         for i in range(ch.length()):
             stack.append(ch.apply(i))
-    return tops
+    return widths, ungoverned
 
 
 def has_parallelism(df: DataFrame, threshold: int) -> bool:
     """Does ``df``'s layout provide at least ``threshold``-way parallelism
     for the map stage that will consume it?  Pure metadata, no execution.
 
-    Primary probe: walk the analyzed plan TREE (py4j) and decide from the
-    GOVERNING (topmost-per-path) layout nodes — ordering is exact, so
+    Primary probe: one ``analyzed().toString()`` round trip; when the
+    text mentions no layout node at all, the file-scan split estimate
+    decides (the common case — no O(plan) py4j walk).  Otherwise walk
+    the analyzed plan TREE and decide from the GOVERNING layout nodes
+    (see :func:`_governing_layout`) — ordering is exact, so
     ``repartition(N).coalesce(1)`` is correctly narrow (the coalesce
-    governs) while ``coalesce(1).repartition(N)`` is correctly wide, and
-    a governing NARROW repartition (``repartition(2)``) answers False
-    even over wide file splits (it overrides them).  When no layout node
-    governs, fall back to the file-scan split estimate.
+    governs), ``coalesce(1).repartition(N)`` is correctly wide, a narrow
+    governing ``repartition(2)`` overrides wide file splits, and a
+    ``repartition(256).coalesce(64)`` chain is wide when 64 clears the
+    threshold.  Every governed path must clear the threshold, and any
+    path ending in a bare scan additionally requires the split estimate
+    to clear it.
 
-    Fallback probe (plan tree unreachable, e.g. Spark Connect): the plan-
-    TEXT regexes — unordered, so any coalesce answers False conservatively
-    (one redundant shuffle is the cheap direction of that ambiguity).
-    No ``df.rdd.getNumPartitions()``: plan-to-RDD conversion per call,
-    sidesteps AQE statistics."""
+    Fallback (plan tree/text unreachable, e.g. Spark Connect): answer
+    False — spread() then pays one explicit repartition, which is always
+    safe; pretending such a plan is layout-free could leave the map
+    stage on one partition.  No ``df.rdd.getNumPartitions()``:
+    plan-to-RDD conversion per call, sidesteps AQE statistics."""
+    probed = _plan_layout(df)
+    if probed is None:
+        return False  # cannot see the plan at all — force the spread
+    width_txt, coalesced_txt = probed
+    if width_txt == 0 and not coalesced_txt:
+        return _scan_split_estimate(df) >= threshold
     try:
-        tops = _governing_layout_nodes(df)
-    except Exception:  # noqa: BLE001 — connect-only sessions etc.
-        width, coalesced = _plan_layout(df)
-        if coalesced:
-            return False
-        if width >= threshold:
+        widths, ungoverned = _governing_layout(df, threshold)
+    except Exception:  # noqa: BLE001 — text worked but tree didn't
+        if coalesced_txt:
+            return False  # unordered text: any coalesce → conservative
+        if width_txt >= threshold:
             return True
         return _scan_split_estimate(df) >= threshold
-    if tops:
-        default_w = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-        widths = []
-        for kind, w in tops:
-            if kind == "coalesce":
-                return False
-            widths.append(default_w if w is None else w)
-        # every root-to-leaf path must be wide enough (a join/union with
-        # one narrow governing branch still bottlenecks that branch)
-        return min(widths) >= threshold
-    return _scan_split_estimate(df) >= threshold
+    if widths and min(widths) < threshold:
+        return False
+    if ungoverned or not widths:
+        return _scan_split_estimate(df) >= threshold
+    return True
 
 
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:

@@ -152,10 +152,20 @@ def test_layout_probe_edge_cases(spark):
     assert has_parallelism(docs.coalesce(1).repartition(64, "doc_id"), 64)
     # a NARROW governing repartition overrides however-wide file splits
     assert not has_parallelism(docs.repartition(2), 4)
-    # repartition(col) without a count governs at shuffle.partitions
-    n_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    assert has_parallelism(docs.repartition("doc_id"), n_default)
-    assert not has_parallelism(docs.repartition("doc_id"), n_default + 1)
+    # repartition(col) WITHOUT a count must not be credited with
+    # shuffle.partitions width: AQE coalesces column-only repartition
+    # shuffles (runtime width can land on 1 over this small input), so
+    # the data-size-driven scan estimate decides — narrow here
+    assert not has_parallelism(docs.repartition("doc_id"), 8)
+    assert docs.repartition("doc_id").rdd.getNumPartitions() <= 8
+    # a coalesce that still clears the threshold is width-TRANSPARENT:
+    # the subtree decides (256 -> capped at 64, wide at 16)...
+    assert has_parallelism(docs.repartition(256).coalesce(64), 16)
+    # ...but a transparent coalesce over a bare narrow scan stays narrow
+    assert not has_parallelism(docs.coalesce(64), 16)
+    # a union with one bare-scan branch is NOT judged wide by the other
+    # branch's repartition: the ungoverned path folds in the scan estimate
+    assert not has_parallelism(docs.union(wide), 64)
     # bracket-printing partition expression: split(text)[0] renders as
     # "...[0]" inside the RepartitionByExpression arg list — the width
     # anchor of the FALLBACK text probe must still reach the trailing
