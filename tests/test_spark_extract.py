@@ -377,3 +377,26 @@ def test_giant_docs_one_partition_end_to_end(spark, ref):
     }
     got = dict(zip(pdf["url"], pdf["extracted_text"]))
     assert got == want
+
+
+@pytest.mark.spark
+def test_extract_output_invariant_across_layouts(spark):
+    """The extraction output (full rows, byte-exact) must not depend on
+    the pre-UDF physical layout: salted shuffle, no shuffle, and auto
+    must produce identical (url -> extracted_text, error) maps.  At
+    10^12 docs the layout is a pure performance knob — any semantic
+    leak through it (e.g. batch-boundary-dependent state) is a bug."""
+    pages = pg.build_pages(spark, SF).where("doc_id < 150")
+
+    def snap(mode):
+        out = extract_pages(
+            pages, parallelism=4, with_metrics=False, repartition=mode
+        ).select("url", "extracted_text", "error")
+        return {
+            r.url: (r.extracted_text, r.error) for r in out.collect()
+        }
+
+    base = snap("salted")
+    assert len(base) == 150
+    assert snap("none") == base
+    assert snap("auto") == base
