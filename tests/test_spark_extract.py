@@ -462,8 +462,13 @@ def test_corpus_mutation_parity_through_spark(spark, ref):
         # scale contract there is an error row, never a crash.
         try:
             want = ref.parse(hb.decode("utf-8")).content_str()
-        except Exception:
+        except Exception as e:
             g_text, g_err = got[url]
-            assert g_text is None and g_err is not None, url
+            assert g_text is None, url
+            # same exception TYPE as the reference (error rows carry
+            # "TypeName: message"; parity probed over poison entities)
+            assert g_err is not None and g_err.startswith(
+                type(e).__name__
+            ), (url, g_err)
         else:
             assert got[url] == (want, None), url
