@@ -472,3 +472,89 @@ def test_corpus_mutation_parity_through_spark(spark, ref):
             ), (url, g_err)
         else:
             assert got[url] == (want, None), url
+
+
+# Byte-level corpus mutations: the html column is BINARY, so at corpus
+# scale it carries content no string-level fuzz can produce — truncated
+# UTF-8 sequences, bare continuation bytes, NULs, pages cut mid-tag /
+# mid-entity by a crawler.  The pipeline's documented decode policy is
+# errors="replace" (functions/extract.py), so the parity oracle is the
+# reference run on the SAME replace-decoded string.  The standalone hunt
+# (scripts/hunt_byte_mutations.py, documented in PLANS.md §10) ran 11k
+# byte-mutated docs across 3 seeds, zero divergences; this pins a slice.
+_BAD_BYTES = [
+    b"\xff", b"\xfe\xff",
+    b"\xc3",          # lone UTF-8 lead byte
+    b"\xe2\x82",      # truncated 3-byte sequence
+    b"\x80\x81",      # bare continuation bytes
+    b"\xf0\x9f",      # truncated 4-byte (emoji lead)
+    b"\x00",          # NUL
+]
+
+
+def _mutate_bytes(hb: bytes, rng: random.Random) -> bytes:
+    """1-4 mutations across four axes, applied to the raw BYTES."""
+    for _ in range(rng.randint(1, 4)):
+        op = rng.randrange(4)
+        if op == 0 and len(hb) > 40:  # span deletion (can sever a tag)
+            start = rng.randint(0, len(hb) - 20)
+            end = start + rng.randint(1, min(400, len(hb) - start))
+            hb = hb[:start] + hb[end:]
+        elif op == 1 and len(hb) > 40:  # truncation (mid-anything EOF)
+            hb = hb[: rng.randint(10, len(hb) - 1)]
+        elif op == 2:  # invalid-byte injection
+            pos = rng.randint(0, len(hb))
+            hb = hb[:pos] + rng.choice(_BAD_BYTES) + hb[pos:]
+        else:  # fragment splice at a byte offset (may split a rune)
+            pos = rng.randint(0, len(hb))
+            hb = (
+                hb[:pos]
+                + rng.choice(_MUTATION_FRAGMENTS).encode("utf-8")
+                + hb[pos:]
+            )
+    return hb
+
+
+@pytest.mark.spark
+def test_corpus_byte_mutation_parity_through_spark(spark, ref):
+    rng = random.Random(20260819)
+    base = (
+        pg.build_pages(spark, SF)
+        .where("doc_id < 100")
+        .select("url", "warc_ts", "html", "lang")
+        .collect()
+    )
+    rows = []
+    for r in base:
+        hb0 = bytes(r.html)
+        for v in range(3):
+            rows.append(
+                (f"{r.url}#b{v}", r.warc_ts, _mutate_bytes(hb0, rng),
+                 "", r.lang)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_pages(df, parallelism=8, with_metrics=False).select(
+        "url", "extracted_text", "error"
+    )
+    got = {r.url: (r.extracted_text, r.error) for r in out.collect()}
+    assert len(got) == 300
+    n_invalid = 0
+    for url, _ts, hb, _t, _l in rows:
+        h = hb.decode("utf-8", errors="replace")
+        if "�" in h:
+            n_invalid += 1
+        try:
+            want = ref.parse(h).content_str()
+        except Exception as e:
+            g_text, g_err = got[url]
+            assert g_text is None, url
+            assert g_err is not None and g_err.startswith(
+                type(e).__name__
+            ), (url, g_err)
+        else:
+            assert got[url] == (want, None), url
+    # the seed must actually exercise the invalid-byte axis
+    assert n_invalid >= 30, n_invalid
