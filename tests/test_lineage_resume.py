@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -62,6 +63,66 @@ def test_resume_rewrites_orphan_bucket(spark, tmp_path):
     shutil.rmtree(lin)
     r = ln.run_extract_job(spark, pages, out, lin, n_buckets=4)
     assert r["processed"] == 4
+    res = spark.read.parquet(out)
+    assert res.count() == 500
+    assert res.select("url").distinct().count() == 500
+    assert ln.verify_run(spark, out, lin).count() == 0
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("mode", ["cut", "orphan"])
+def test_real_sigkill_resume(spark, tmp_path, mode):
+    """A REAL SIGKILL — driver + JVM die with no cleanup, no shutdown
+    hooks, no writer close — then resume completes idempotently.
+
+    The in-process tests above simulate the kill with an exception; this
+    one spawns the job in a subprocess (tests/kill_runner.py) that
+    SIGKILLs itself either between buckets (``cut``) or inside the
+    output-committed/lineage-lost crash window (``orphan``)."""
+    import signal
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    runner = os.path.join(os.path.dirname(__file__), "kill_runner.py")
+    proc = subprocess.Popen(
+        [sys.executable, runner, out, lin, mode],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+    )
+    try:
+        stdout, stderr = proc.communicate(timeout=300)
+    finally:
+        # reap anything left in the runner's session (a py4j JVM that
+        # survived the driver's death would poison later pinned benches)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+    # the process died by SIGKILL, not by a Python exception
+    assert proc.returncode == -signal.SIGKILL, (
+        proc.returncode, stdout[-2000:], stderr[-2000:])
+    assert "UNREACHABLE" not in stdout
+
+    done = ln.completed_buckets(spark, lin).count()
+    assert done == 3
+    if mode == "orphan":
+        # the 4th bucket's output dir committed but its lineage row died
+        # with the process: exactly one orphan bucket dir on disk
+        bucket_dirs = {
+            d for d in os.listdir(out) if d.startswith("bucket=")
+        }
+        assert len(bucket_dirs) == 4
+
+    # resume in THIS session: skips the 3 committed buckets, rewrites any
+    # orphan, completes the rest
+    pages = build_pages(spark, SF)
+    r = ln.run_extract_job(spark, pages, out, lin, n_buckets=8)
+    assert r["skipped"] == 3
+    assert r["processed"] == 5
     res = spark.read.parquet(out)
     assert res.count() == 500
     assert res.select("url").distinct().count() == 500
