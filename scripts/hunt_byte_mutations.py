@@ -26,7 +26,8 @@ from dhtmlparser3_spark.pipeline.extract_job import extract_pages
 from dhtmlparser3_spark.plans.session import get_spark
 from dhtmlparser3_spark.sources import pages as pg
 
-SF = "/root/testdata/sf0.001"
+import os
+SF = os.environ.get("HUNT_SF", "/root/testdata/sf0.001")
 
 BAD_BYTES = [
     b"\xff",
