@@ -1204,8 +1204,9 @@ def _q_ann_recall(spark, sf_dir):
 def _q_stream_extract(spark, sf_dir):
     """Structured Streaming driver row: pages → parquet file stream (8
     files, maxFilesPerTrigger=4 ⇒ ≥2 micro-batches) → foreachBatch running
-    the SAME batch extract job per epoch → transactional parquet sink →
-    read back.  Oracled as batch-equivalence: the streamed output must
+    the SAME batch extract job per epoch → idempotent per-epoch overwrite
+    sink (foreachBatch is at-least-once; a replayed epoch rewrites its own
+    partition dir, see stream_extract.start_foreach_batch) → read back.  Oracled as batch-equivalence: the streamed output must
     byte-match the batch content_str oracle for every url.  Input is
     built once and reused across reps (_ensure_stream_input)."""
     import tempfile

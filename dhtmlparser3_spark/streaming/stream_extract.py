@@ -16,6 +16,8 @@ The batch pipeline lifts unchanged into streaming:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,12 +52,22 @@ def start_foreach_batch(
     parallelism: int = 8,
 ):
     """foreachBatch: reuse the full batch job (salted repartition included)
-    per micro-batch; the engine's checkpoint gives exactly-once file sinks."""
+    per micro-batch.
+
+    foreachBatch is AT-LEAST-ONCE, not exactly-once: the engine replays a
+    micro-batch whose sink write completed but whose checkpoint commit did
+    not (crash in the window between the two).  A plain ``append`` sink
+    would duplicate every row of the replayed epoch, so each epoch writes
+    its own partition directory ``output_path/epoch=<id>/`` with
+    ``overwrite`` — a replay rewrites the same directory byte-identically
+    (extraction is deterministic per url), making the sink idempotent and
+    therefore exactly-once end-to-end.  Readers of ``output_path`` get the
+    ``epoch`` column back via parquet partition discovery."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         out = extract_pages(batch_df, parallelism=parallelism, with_metrics=False)
-        out.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            output_path
+        out.write.mode("overwrite").parquet(
+            os.path.join(output_path, f"epoch={int(epoch_id)}")
         )
 
     return (

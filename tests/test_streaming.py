@@ -51,6 +51,51 @@ def test_stream_extract_matches_batch(spark, tmp_path, pages_dir, ref):
 
 
 @pytest.mark.spark
+def test_stream_extract_batch_replay_is_idempotent(spark, tmp_path, pages_dir):
+    """foreachBatch is AT-LEAST-ONCE: a crash between the sink write and
+    the checkpoint commit replays the micro-batch on restart.  Simulate
+    the crash window at the engine level — delete the LAST batch's commit
+    marker from the checkpoint (its offsets file and its sink output both
+    survive, exactly the on-disk state of that crash) and restart.  The
+    engine replays the batch; the per-epoch overwrite sink must absorb it
+    with zero duplicates (a plain append sink would yield 750 rows)."""
+    import os
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = se.start_foreach_batch(
+        se.read_pages_stream(spark, pages_dir), out, ckpt, parallelism=4
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    assert res.count() == 500
+    n_epochs = res.select("epoch").distinct().count()
+    assert n_epochs >= 2
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    assert len(commits) >= 2
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    # also drop the local ChecksumFileSystem sidecar — a real crash leaves
+    # neither file, and a stale .crc makes the replayed commit's rename
+    # fail as a (spurious) concurrent-checkpoint-use error
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = se.start_foreach_batch(
+        se.read_pages_stream(spark, pages_dir), out, ckpt, parallelism=4
+    )
+    q2.awaitTermination(120)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == 500
+    assert replayed.select("url").distinct().count() == 500
+    assert replayed.select("epoch").distinct().count() == n_epochs
+
+
+@pytest.mark.spark
 def test_windowed_metrics_stream_plan(spark, pages_dir):
     """The stateful windowed aggregate compiles into a streaming plan with
     watermark + stateful agg (smoke via availableNow to memory sink)."""
