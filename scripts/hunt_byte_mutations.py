@@ -28,6 +28,9 @@ from dhtmlparser3_spark.sources import pages as pg
 
 import os
 SF = os.environ.get("HUNT_SF", "/root/testdata/sf0.001")
+# max mutations per doc (compounding depth) — heavier values stack
+# deletions/truncations/splices into heavily-corrupted documents
+NMUT = int(os.environ.get("HUNT_MUTS", "4"))
 
 BAD_BYTES = [
     b"\xff",
@@ -49,8 +52,8 @@ FRAGMENTS = [
 
 
 def mutate_bytes(hb: bytes, rng: random.Random) -> bytes:
-    """1-4 mutations drawn from all four axes, applied to raw BYTES."""
-    for _ in range(rng.randint(1, 4)):
+    """1-NMUT mutations drawn from all four axes, applied to raw BYTES."""
+    for _ in range(rng.randint(1, NMUT)):
         op = rng.randrange(4)
         if op == 0 and len(hb) > 40:  # span deletion
             start = rng.randint(0, len(hb) - 20)
