@@ -453,14 +453,18 @@ def make_extract_iterator(
             # BYTE lengths: the html column is binary in the standard
             # pipeline (len == bytes); a str column (extract_series
             # accepts both) counts characters, under-reading multibyte
-            # text by up to 4x — encode to measure those
+            # text by up to 4x.  Measuring by h.encode() would allocate a
+            # transient doc-sized copy for exactly the giant documents
+            # this planner is defending against, so non-ASCII strings use
+            # the no-copy 4x worst-case bound instead (safe direction:
+            # at most finer slicing); isascii() is a C-speed scan.
             sizes = [
                 0
                 if h is None
                 else (
                     len(h)
-                    if isinstance(h, (bytes, bytearray))
-                    else len(h.encode("utf-8", "replace"))
+                    if isinstance(h, (bytes, bytearray)) or h.isascii()
+                    else 4 * len(h)
                 )
                 for h in pdf["html"]
             ]

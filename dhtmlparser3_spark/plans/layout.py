@@ -63,22 +63,28 @@ _REPART_BY_EXPR = re.compile(
 _COALESCE = re.compile(r"\bRepartition (\d+), false\b")
 
 
-def _plan_layout(df: DataFrame) -> tuple[int, bool] | None:
+def _plan_layout(df: DataFrame) -> tuple[int, bool, bool] | None:
     """Text-probe fallback: (max explicit shuffle-repartition width in the
-    analyzed plan — 0 if none, has_coalesce), or None when even the plan
-    TEXT is unreachable (e.g. Spark Connect) — callers must then answer
-    conservatively rather than pretending the plan is layout-free.
-    Coalesce NARROWS the layout, so it must never count as an existing
-    spread (round-2 code matched the bare substring "Repartition", which
-    made spread() silently no-op on coalesce(1) plans — the exact Amdahl
-    hazard it exists to prevent)."""
+    analyzed plan — 0 if none, has_coalesce, has_countless_by_expr), or
+    None when even the plan TEXT is unreachable (e.g. Spark Connect) —
+    callers must then answer conservatively rather than pretending the
+    plan is layout-free.  Coalesce NARROWS the layout, so it must never
+    count as an existing spread (round-2 code matched the bare substring
+    "Repartition", which made spread() silently no-op on coalesce(1)
+    plans — the exact Amdahl hazard it exists to prevent).  A count-less
+    ``repartition(col)`` is flagged separately: it is a layout node whose
+    runtime width AQE may coalesce to 1, so its presence must route to
+    the tree walk (or a conservative False), never to the layout-free
+    scan-split fast path."""
     try:
         text = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # noqa: BLE001 — e.g. connect-only sessions
         return None
+    by_expr = _REPART_BY_EXPR.findall(text)
     widths = [int(m) for m in _REPART_SHUFFLE.findall(text)]
-    widths += [int(m) for m in _REPART_BY_EXPR.findall(text) if m]
-    return max(widths, default=0), bool(_COALESCE.search(text))
+    widths += [int(m) for m in by_expr if m]
+    countless = any(not m for m in by_expr)
+    return max(widths, default=0), bool(_COALESCE.search(text)), countless
 
 
 def _governing_layout(df: DataFrame, threshold: int) -> tuple[list, bool]:
@@ -107,6 +113,19 @@ def _governing_layout(df: DataFrame, threshold: int) -> tuple[list, bool]:
     while stack:
         node = stack.pop()
         name = node.getClass().getSimpleName()
+        if name == "ResolvedHint":
+            # A broadcast-hinted subtree is the replicated side of a join:
+            # its partitioning never reaches the consuming stage, so a
+            # coalesce(1) on a broadcast dimension must not veto a wide
+            # fact side.  Prune it (neither widths nor ungoverned); if the
+            # WHOLE plan prunes away, the caller falls back to the scan
+            # estimate.  Non-broadcast hints descend normally.
+            try:
+                hint = node.hints().toString().lower()
+            except Exception:  # noqa: BLE001 — hint API shift
+                hint = ""
+            if "broadcast" in hint:
+                continue
         if name == "Repartition":
             n = int(node.numPartitions())
             if node.shuffle() or n < threshold:
@@ -150,14 +169,16 @@ def has_parallelism(df: DataFrame, threshold: int) -> bool:
     probed = _plan_layout(df)
     if probed is None:
         return False  # cannot see the plan at all — force the spread
-    width_txt, coalesced_txt = probed
-    if width_txt == 0 and not coalesced_txt:
+    width_txt, coalesced_txt, countless_txt = probed
+    if width_txt == 0 and not coalesced_txt and not countless_txt:
         return _scan_split_estimate(df) >= threshold
     try:
         widths, ungoverned = _governing_layout(df, threshold)
     except Exception:  # noqa: BLE001 — text worked but tree didn't
-        if coalesced_txt:
-            return False  # unordered text: any coalesce → conservative
+        if coalesced_txt or countless_txt:
+            # unordered text: any coalesce, or a column-only repartition
+            # whose runtime width AQE may collapse → conservative
+            return False
         if width_txt >= threshold:
             return True
         return _scan_split_estimate(df) >= threshold

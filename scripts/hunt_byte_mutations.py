@@ -32,42 +32,13 @@ SF = os.environ.get("HUNT_SF", "/root/testdata/sf0.001")
 # deletions/truncations/splices into heavily-corrupted documents
 NMUT = int(os.environ.get("HUNT_MUTS", "4"))
 
-BAD_BYTES = [
-    b"\xff",
-    b"\xfe\xff",
-    b"\xc3",          # lone UTF-8 lead byte
-    b"\xe2\x82",      # truncated 3-byte sequence
-    b"\x80\x81",      # bare continuation bytes
-    b"\xf0\x9f",      # truncated 4-byte (emoji lead)
-    b"\x00",          # NUL
-]
-
-FRAGMENTS = [
-    "<b>", "</b>", "<div><p>x", "<p><p>", "<!-- unterminated", "<!-->",
-    "&;", "&amp", "&#6", "&#x4", "&" + "x" * 25 + ";",
-    '<a href="unterminated>', '<q a=">">', "<q 'stray'>",
-    "</script>", "<script>if(a<b){x()}</script>",
-    "<br>text</br>", "</>", "﻿", "π€🎉",
-]
+# fragment corpus, BAD_BYTES, and the four-axis mutator are SHARED with
+# the CI pin and the fragment hunt (testing/mutations.py) — one surface.
+from dhtmlparser3_spark.testing.mutations import mutate_bytes as _mutate
 
 
 def mutate_bytes(hb: bytes, rng: random.Random) -> bytes:
-    """1-NMUT mutations drawn from all four axes, applied to raw BYTES."""
-    for _ in range(rng.randint(1, NMUT)):
-        op = rng.randrange(4)
-        if op == 0 and len(hb) > 40:  # span deletion
-            start = rng.randint(0, len(hb) - 20)
-            end = start + rng.randint(1, min(400, len(hb) - start))
-            hb = hb[:start] + hb[end:]
-        elif op == 1 and len(hb) > 40:  # truncation
-            hb = hb[: rng.randint(10, len(hb) - 1)]
-        elif op == 2:  # invalid-byte injection
-            pos = rng.randint(0, len(hb))
-            hb = hb[:pos] + rng.choice(BAD_BYTES) + hb[pos:]
-        else:  # fragment splice (decoded-safe: insert utf-8 bytes)
-            pos = rng.randint(0, len(hb))
-            hb = hb[:pos] + rng.choice(FRAGMENTS).encode("utf-8") + hb[pos:]
-    return hb
+    return _mutate(hb, rng, max_muts=NMUT)
 
 
 def main():

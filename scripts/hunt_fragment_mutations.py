@@ -17,42 +17,12 @@ from dhtmlparser3_spark.sources import pages as pg
 
 SF = "/root/testdata/sf0.001"
 
-FRAGMENTS = [
-    # structural
-    "<b>", "</b>", "<i>", "</i>", "<div>", "</div>", "<p>", "</p>",
-    "<br>", "<img src=x>", "<b><i>", "</b></i>", "<div><p>x",
-    "</p></div>", "<b>x</b>", "</>", "<b b=1 b=2>", "<B>", "</B>",
-    "<p><p>", "<div><div><span>", "</span></span>",
-    # comments
-    "<!-- c -->", "<!-- unterminated", "<!-->", "<!---->", "<!-- <b> -->",
-    # entities
-    "&amp;", "&#65;", "&bogus;", "&;", "&amp", "&lt;b&gt;",
-    "&" + "x" * 25 + ";",  # beyond the 20-char entity cap
-    "&AMP;", "&#xA;",
-    # attributes / quoting traps
-    "<a href='q'>t", '<a href="unterminated>', "<a href=bare&amp;>x</a>",
-    '<q a="1" a="2">', "<q a = 1 >", "<q 'stray'>", '<q a=">">',
-    # script/style with markup inside
-    "<script>if(a<b){x()}</script>", "<style>p>span{}</style>",
-    "</script>", "<script>",
-    # doctype / cdata / pi
-    "<!DOCTYPE html>", "<![CDATA[ <b> ]]>", "<?php echo '<i>'; ?>",
-    # nonpair mis-use + nesting
-    "<br>text</br>", "<img><b>cap</b></img>", "<hr/>", "<area>",
-    # text-ish
-    "x", " ", "\n", "<", ">", "\t", "﻿", "π€🎉", "\r\n",
-    # anchors (subtree anchor machinery)
-    '<a href="u"><b>deep</b></a>', '<a href="v">',
-]
-
-
-def mutate(html: str, rng: random.Random) -> str:
-    n = rng.randint(1, 4)
-    for _ in range(n):
-        pos = rng.randint(0, len(html))
-        frag = rng.choice(FRAGMENTS)
-        html = html[:pos] + frag + html[pos:]
-    return html
+# fragment corpus + mutator are SHARED with the CI pin and the byte hunt
+# (testing/mutations.py) — one adversarial surface, no drift.
+from dhtmlparser3_spark.testing.mutations import (
+    FRAGMENTS,  # noqa: F401 — re-exported for ad-hoc REPL use
+    mutate_fragments as mutate,
+)
 
 
 def main():

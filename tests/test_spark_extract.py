@@ -411,23 +411,14 @@ def test_extract_output_invariant_across_layouts(spark):
 # fragment-level DOM fuzz (test_dom_differential) never produces: a
 # structural trap embedded mid-page, surrounded by kilobytes of valid
 # markup.  The standalone hunt ran 19k docs across 5 seeds with zero
-# divergences; this pins a bounded slice of it in CI.
-_MUTATION_FRAGMENTS = [
-    "<b>", "</b>", "<div><p>x", "</p></div>", "<p><p>",
-    "<!-- unterminated", "<!-->", "&;", "&amp", "&" + "x" * 25 + ";",
-    '<a href="unterminated>', '<q a=">">', "<q 'stray'>",
-    "<script>if(a<b){x()}</script>", "</script>",
-    "<![CDATA[ <b> ]]>", "<?php echo '<i>'; ?>", "<!DOCTYPE html>",
-    "<br>text</br>", "<img><b>cap</b></img>", "</>", "﻿", "π€🎉",
-    '<a href="u"><b>deep</b></a>',
-]
-
-
-def _mutate_html(html: str, rng: random.Random) -> str:
-    for _ in range(rng.randint(1, 4)):
-        pos = rng.randint(0, len(html))
-        html = html[:pos] + rng.choice(_MUTATION_FRAGMENTS) + html[pos:]
-    return html
+# divergences; this pins a bounded slice of it in CI.  The fragment
+# corpus and both mutators are SHARED with the hunts
+# (dhtmlparser3_spark/testing/mutations.py) so the hunted surface and
+# the pinned surface cannot drift.
+from dhtmlparser3_spark.testing.mutations import (  # noqa: E402
+    mutate_bytes as _mutate_bytes,
+    mutate_fragments as _mutate_html,
+)
 
 
 @pytest.mark.spark
@@ -482,37 +473,7 @@ def test_corpus_mutation_parity_through_spark(spark, ref):
 # reference run on the SAME replace-decoded string.  The standalone hunt
 # (scripts/hunt_byte_mutations.py, documented in PLANS.md §10) ran 11k
 # byte-mutated docs across 3 seeds, zero divergences; this pins a slice.
-_BAD_BYTES = [
-    b"\xff", b"\xfe\xff",
-    b"\xc3",          # lone UTF-8 lead byte
-    b"\xe2\x82",      # truncated 3-byte sequence
-    b"\x80\x81",      # bare continuation bytes
-    b"\xf0\x9f",      # truncated 4-byte (emoji lead)
-    b"\x00",          # NUL
-]
-
-
-def _mutate_bytes(hb: bytes, rng: random.Random) -> bytes:
-    """1-4 mutations across four axes, applied to the raw BYTES."""
-    for _ in range(rng.randint(1, 4)):
-        op = rng.randrange(4)
-        if op == 0 and len(hb) > 40:  # span deletion (can sever a tag)
-            start = rng.randint(0, len(hb) - 20)
-            end = start + rng.randint(1, min(400, len(hb) - start))
-            hb = hb[:start] + hb[end:]
-        elif op == 1 and len(hb) > 40:  # truncation (mid-anything EOF)
-            hb = hb[: rng.randint(10, len(hb) - 1)]
-        elif op == 2:  # invalid-byte injection
-            pos = rng.randint(0, len(hb))
-            hb = hb[:pos] + rng.choice(_BAD_BYTES) + hb[pos:]
-        else:  # fragment splice at a byte offset (may split a rune)
-            pos = rng.randint(0, len(hb))
-            hb = (
-                hb[:pos]
-                + rng.choice(_MUTATION_FRAGMENTS).encode("utf-8")
-                + hb[pos:]
-            )
-    return hb
+# Mutator + BAD_BYTES shared with the hunt (testing/mutations.py).
 
 
 @pytest.mark.spark
