@@ -243,8 +243,12 @@ def _q_extract_errors(spark, sf_dir):
 
     and every scalar UDF must yield an error ROW (value NULL + error
     message), never a task failure.  The oracle recomputes the per-class
-    doc/error counts from the documents table."""
-    from dhtmlparser3_spark.functions.extract import udf_serialize_errors
+    doc/error counts from the documents table.  Both serializations come
+    from ONE parse per document (udf_serialize_errors_multi) — the parse
+    dominates UDF cost and poison docs fail at parse time anyway."""
+    from dhtmlparser3_spark.functions.extract import (
+        udf_serialize_errors_multi,
+    )
     from dhtmlparser3_spark.sources.pages import build_pages
 
     pages = build_pages(spark, sf_dir).select(
@@ -273,28 +277,39 @@ def _q_extract_errors(spark, sf_dir):
         )
         .unionByName(poison("deep", F.col("doc_id") % 100 == 5, deep_html))
     )
-    cs = udf_serialize_errors("content_str")(F.col("html")).alias("cs")
-    pf = udf_serialize_errors("prettify")(F.col("html")).alias("pf")
+    s = udf_serialize_errors_multi("content_str", "prettify")(
+        F.col("html")
+    ).alias("s")
     kinds = F.concat_ws(
         ",",
         F.array_sort(
-            F.collect_set(F.regexp_extract("cs.error", "^([A-Za-z]+)", 1))
+            F.collect_set(
+                F.regexp_extract("s.content_str_error", "^([A-Za-z]+)", 1)
+            )
         ),
     )
     return (
-        corpus.select("cls", cs, pf)
+        corpus.select("cls", s)
         .groupBy("cls")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("cs.error").isNotNull(), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("s.content_str_error").isNotNull(), 1).otherwise(
+                    0
+                )
+            )
             .cast("bigint")
             .alias("n_err_content"),
-            F.sum(F.when(F.col("pf.error").isNotNull(), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("s.prettify_error").isNotNull(), 1).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_err_prettify"),
             F.sum(
                 F.when(
-                    F.col("cs.value").isNull() & F.col("cs.error").isNull(), 1
+                    F.col("s.content_str_value").isNull()
+                    & F.col("s.content_str_error").isNull(),
+                    1,
                 ).otherwise(0)
             )
             .cast("bigint")
@@ -399,11 +414,18 @@ def _q_selector_counts(spark, sf_dir):
             F.lit(tag).alias("selector"), "n"
         )
 
-    return (
+    res = (
         tagged("find_attr_ci", find_tags(nodes, "div", {"class": "inner"}))
         .unionByName(tagged("descendant_divs", descendant_join(nodes, div, div)))
         .unionByName(tagged("wfind_chain", wfind_chain(nodes, ["body", "div", "div"])))
     )
+    # the result is 3 count rows: snapshot it and RELEASE the persisted
+    # node table deterministically — a lazily-returned plan could never
+    # unpersist its input, pinning one cached node table per invocation
+    # for the session's lifetime (round-4 review)
+    out = spark.createDataFrame(res.collect(), res.schema)
+    nodes.unpersist()
+    return out
 
 
 def _q_quality(spark, sf_dir):
@@ -646,13 +668,19 @@ def _q_stream_metrics(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-    return spark.table(name).select(
+    snap = spark.table(name).select(
         F.col("window.start").alias("win_start"),
         F.col("window.end").alias("win_end"),
         "lang",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("chars_out").cast("bigint").alias("chars_out"),
     )
+    # snapshot the (few-window, bounded) sink rows and DROP the memory
+    # table: each invocation otherwise leaves a uniquely-named in-memory
+    # table registered for the session's lifetime (round-4 review)
+    out = spark.createDataFrame(snap.collect(), snap.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 DECON_MOD = 31  # doc_id % 31 == 0 defines the demo benchmark set
@@ -933,7 +961,13 @@ def _q_jaccard_pairs(spark, sf_dir):
     lsh = minhash_lsh_pairs(
         corpus, n=3, tau_pct=60, arrays=arrays
     ).withColumn("method", F.lit("lsh"))
-    return brute.unionByName(lsh)
+    res = brute.unionByName(lsh)
+    # near-dup pairs are a tiny fraction of the corpus: snapshot them and
+    # RELEASE the persisted shingle table deterministically rather than
+    # pinning one cached copy per invocation (round-4 review)
+    out = spark.createDataFrame(res.collect(), res.schema)
+    arrays.unpersist()
+    return out
 
 
 def _q_simhash(spark, sf_dir):
@@ -1496,7 +1530,11 @@ def _sql_extract_stats() -> str:
       per AS (
         SELECT doc_id % 5 AS template,
                count(*) AS n_docs,
-               sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS n_empty
+               -- text = '' (NOT trim(text) = ''): the parser keeps a
+               -- text node for a whitespace-only payload — only a truly
+               -- empty string renders no payload text node (matches the
+               -- spans_summary oracle's text <> '' convention)
+               sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS n_empty
         FROM documents GROUP BY 1
       )
       SELECT per.template AS template,

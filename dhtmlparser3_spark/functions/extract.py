@@ -693,6 +693,51 @@ def udf_serialize_errors(what: str):
     return _ser
 
 
+def udf_serialize_errors_multi(*whats: str):
+    """pandas_udf: html → struct<{w}_value, {w}_error per serializer>,
+    from ONE parse per document — the parse dominates UDF cost, so asking
+    for two serializations must not pay it twice (same consolidation as
+    :func:`udf_serializations`, but keeping the per-serializer error
+    column of :func:`udf_serialize_errors`).  A parse failure poisons
+    every slot with the same error (the reference raises at tokenize
+    time); a serializer-specific failure errors only its own slot."""
+    from pyspark.sql.functions import pandas_udf
+
+    fns = [(w, _SERIALIZERS[w]) for w in whats]
+    fields = ", ".join(f"{w}_value:string, {w}_error:string" for w in whats)
+
+    def one(h):
+        row = {}
+        try:
+            a = parse_arena(decode_html(h))
+        except Exception as e:  # noqa: BLE001 — error-row at scale
+            msg = f"{type(e).__name__}: {e}"
+            for w, _fn in fns:
+                row[f"{w}_value"] = None
+                row[f"{w}_error"] = msg
+            return row
+        for w, fn in fns:
+            try:
+                row[f"{w}_value"] = fn(a)
+                row[f"{w}_error"] = None
+            except Exception as e:  # noqa: BLE001
+                row[f"{w}_value"] = None
+                row[f"{w}_error"] = f"{type(e).__name__}: {e}"
+        return row
+
+    @pandas_udf(f"struct<{fields}>")
+    def _ser(html: pd.Series) -> pd.DataFrame:
+        gc_was = gc.isenabled()
+        gc.disable()
+        try:
+            return pd.DataFrame(list(html.map(one)), index=html.index)
+        finally:
+            if gc_was:
+                gc.enable()
+
+    return _ser
+
+
 def udf_content_str():
     """pandas_udf: html (binary/string) → content_str string column."""
     return _udf_serialize("content_str")

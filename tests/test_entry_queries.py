@@ -91,6 +91,18 @@ def test_tag_matrix_matches_reference(ref):
         assert len(texts0) == (
             entrymod.TEXT_NODE_MATRIX[t] - entrymod.PAYLOAD_TEXT_NODE[t]
         ), f"template {t} empty-payload"
+        # a WHITESPACE-ONLY payload keeps its text node (the parser never
+        # trims), so the extract_stats oracle's empty rule must be
+        # text = '' and NOT trim(text) = '' (round-4 review: trim() would
+        # turn the driver row red on a corpus with space-only texts)
+        html_ws = pg.compile_py(pg.TEMPLATES[t], t, "   ")
+        dom_ws = ref.parse(html_ws)
+        texts_ws = [
+            x for x in dom_ws.depth_first_iterator() if isinstance(x, str)
+        ]
+        assert len(texts_ws) == entrymod.TEXT_NODE_MATRIX[t], (
+            f"template {t} whitespace-payload"
+        )
 
 
 @pytest.mark.spark
