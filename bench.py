@@ -23,6 +23,11 @@ Env knobs:
   SPARK_GRAFT_CPUS        main parallelism (default 32)
   SPARK_GRAFT_BENCH_MULT  corpus multiplier for the extract job (default 200)
   SPARK_GRAFT_SCALING     "0" to skip the pinned scaling pairs
+  SPARK_GRAFT_MP          "0" skips the pure-mp ceiling in a direct
+                          ``bench.py _extract`` invocation only; the
+                          sweep sets it per pass itself (base passes
+                          always measure the ceiling), and any NaN that
+                          still reaches the record is emitted as null
 """
 
 from __future__ import annotations
@@ -38,9 +43,26 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _src_fingerprint(sf_dir: str) -> str:
+    """Short fingerprint of the SOURCE corpus (absolute path + mtime/size
+    of documents.parquet): keying the cache by basename alone would
+    silently reuse a stale corpus for a different directory with the same
+    name, or for testdata regenerated in place."""
+    import hashlib
+
+    src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = src
+    return hashlib.sha1(sig.encode()).hexdigest()[:10]
+
+
 def _pages_path(sf_dir: str, multiplier: int) -> str:
     tag = sf_dir.rstrip("/").split("/")[-1]
-    return f"/tmp/spark_graft_bench/pages_{tag}_m{multiplier}.parquet"
+    fp = _src_fingerprint(sf_dir)
+    return f"/tmp/spark_graft_bench/pages_{tag}_m{multiplier}_{fp}.parquet"
 
 
 def _ensure_pages(spark, sf_dir: str, multiplier: int) -> str:
@@ -238,8 +260,10 @@ def _pinned_extract(
     env = dict(os.environ)
     if layout:
         env.update(layout)
-    if not mp:
-        env["SPARK_GRAFT_MP"] = "0"
+    # force explicitly in BOTH directions: a parent-environment
+    # SPARK_GRAFT_MP=0 (config-experiment knob) must not silently skip
+    # the ceiling on base passes the sweep expects to measure it
+    env["SPARK_GRAFT_MP"] = "1" if mp else "0"
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, check=True
     )
@@ -257,9 +281,15 @@ def _mp_work(args):
     import gc as _gc
 
     _gc.disable()
+    # count what was ACTUALLY processed — under a 'spawn' start method
+    # the fork-shared corpus global would be empty in the workers, and
+    # returning hi-lo would let the caller's sum==n assert pass while the
+    # ceiling measured nothing but pool overhead
+    done = 0
     for h in _MP_HTMLS[lo:hi]:
         extract_one(h)
-    return hi - lo
+        done += 1
+    return done
 
 
 def _mp_ceiling(cores: int, sf_dir: str, multiplier: int) -> float:
@@ -294,10 +324,7 @@ def _bench_skew(cpus: int, sf_dir: str):
     the north-rule skew claim, measured (see scripts/exp_skew.py)."""
     from pyspark.sql import functions as F
 
-    from dhtmlparser3_spark.functions.extract import (
-        EXTRACT_SCHEMA,
-        make_extract_iterator,
-    )
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
     from dhtmlparser3_spark.plans.session import get_spark
     from dhtmlparser3_spark.sources.pages import build_pages
 
@@ -305,9 +332,14 @@ def _bench_skew(cpus: int, sf_dir: str):
     try:
         skew_mult = 40
         tag = sf_dir.rstrip("/").split("/")[-1]
-        # cache keyed by (sf, multiplier) — a fixed path would silently
-        # reuse a stale corpus when re-run at a different scale factor
-        path = f"/tmp/spark_graft_bench/pages_skew_{tag}_m{skew_mult}.parquet"
+        # cache keyed by (sf, multiplier, source fingerprint) — a fixed
+        # path would silently reuse a stale corpus when re-run at a
+        # different scale factor or against regenerated testdata
+        fp = _src_fingerprint(sf_dir)
+        path = (
+            f"/tmp/spark_graft_bench/pages_skew_{tag}_m{skew_mult}_{fp}"
+            ".parquet"
+        )
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             pages = build_pages(spark, sf_dir, multiplier=skew_mult)
             heavy = (F.xxhash64("url") % 20 == 0).alias("heavy")
@@ -333,14 +365,12 @@ def _bench_skew(cpus: int, sf_dir: str):
         )
 
         def run(mode):
-            df = pages
-            if mode == "salted":
-                df = df.repartition(
-                    spark.sparkContext.defaultParallelism * 2,
-                    F.xxhash64(F.col("url"), F.lit(2024)),
-                )
+            # the REAL pipeline entrypoint (mapInArrow boundary, shared
+            # _apply_repartition salt/width definition) — a hand-rolled
+            # copy here measured the non-default pandas io path and would
+            # silently drift from extract_job.py's layout choices
             return (
-                df.mapInPandas(make_extract_iterator(), schema=EXTRACT_SCHEMA)
+                extract_pages(pages, repartition=mode, with_metrics=False)
                 .agg(F.count("*").alias("docs"), F.sum("n_chars_out"))
                 .collect()[0]
             )
@@ -444,7 +474,13 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "200"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        # non-standard corpus dir (e.g. a mutated copy): nothing else in
+        # the run needs a numeric sf — record the basename instead of
+        # crashing before any benchmarking
+        sf = sf_dir.rstrip("/").split("/")[-1]
 
     log(f"bench: sf_dir={sf_dir} cpus={cpus} multiplier={mult}")
 
@@ -470,7 +506,11 @@ def main():
         # budget on the cheap gate-pair extension (runs=1 per width): on a
         # degraded-VM day the base passes alone can eat the whole budget
         # while the gate pair is the only ratio that matters
-        passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
+        # clamp ≥1: zero base passes would leave `runs` empty and the
+        # extension-loop gate would KeyError after the corpus prebuild
+        passes = max(
+            1, int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
+        )
         # 1M docs, NOT more: the sandbox VM throttles sustained load (the
         # pure-mp ceiling itself degrades superlinearly on 2M-doc runs —
         # measured eff drop from ~0.81 to ~0.76 with the ceiling degrading
@@ -598,8 +638,9 @@ def main():
         # bias it past it.  The 4-core min is tight across windows
         # (observed 18.5/19.2/19.7 over three full sweeps) and converges in
         # a few samples; the 16-core min has a much wider bottom (5.2-7.7),
-        # so gate-pair extensions give the 16-core side two timed runs per
-        # JVM and the 4-core side one.  Every sample lands in the JSON.
+        # so gate-pair extensions give the 16-core side three timed runs
+        # per JVM (runs_override=3 below, plus the adaptive JIT tail) and
+        # the 4-core side one.  Every sample lands in the JSON.
         max_extra = int(os.environ.get("SPARK_GRAFT_SCALING_EXTRA", "12"))
         extra = 0
         while (
@@ -716,11 +757,33 @@ def main():
     #     scaling summary and stays well under 2.5 KB; per-sample arrays
     #     live in the archive and BENCH.md.
     import copy
+    import math as _math
 
-    os.makedirs("bench_history", exist_ok=True)
+    def _nan2none(o):
+        # json.dumps would emit a literal NaN (invalid JSON) for any
+        # not-measured ceiling that escaped per-sample conversion — e.g.
+        # a SPARK_GRAFT_MP=0 run, where every hw/normalized field is NaN.
+        # Sanitize the WHOLE result: the parseable-record guarantee must
+        # not depend on which knobs the run used.
+        if isinstance(o, float) and _math.isnan(o):
+            return None
+        if isinstance(o, dict):
+            return {k: _nan2none(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [_nan2none(v) for v in o]
+        return o
+
+    result = _nan2none(result)
+
+    # anchor next to this script, not the cwd: BENCH.md is written to the
+    # repo, so a run from elsewhere must not split the artifacts
+    hist_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history"
+    )
+    os.makedirs(hist_dir, exist_ok=True)
     tag = "full" if result.get("queries") else "partial"
     archive = os.path.join(
-        "bench_history", time.strftime("%Y-%m-%d_%H%M%S") + f"_{tag}.json"
+        hist_dir, time.strftime("%Y-%m-%d_%H%M%S") + f"_{tag}.json"
     )
     with open(archive, "w") as f:
         json.dump(result, f)
@@ -742,7 +805,11 @@ def main():
     compact["queries"] = {
         k: round(v, 2) for k, v in compact.get("queries", {}).items()
     }
-    compact["detail"] = archive
+    # repo-relative pointer (the archive path is absolute since it is
+    # anchored to the script dir, not the cwd)
+    compact["detail"] = os.path.join(
+        "bench_history", os.path.basename(archive)
+    )
     # hard guard: the driver's stdout-tail capture window is ~2000 chars —
     # degrade gracefully rather than ever emitting an unparseable record
     def _trim_svc():
@@ -777,7 +844,9 @@ def _write_bench_md(result: dict, mult: int) -> None:
         f"- headline: {result['metric']} = {result['value']}s "
         f"({result.get('docs_per_sec')} docs/sec)",
     ]
-    if os.path.isdir("bench_history"):
+    if os.path.isdir(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history")
+    ):
         lines += [
             "- every full-run JSON (all samples, incl. runs on throttled-VM "
             "days when the pure-python hardware ceiling itself scales < 0.8 "

@@ -50,6 +50,22 @@ def get_spark(
     bound, so a batch can overshoot by at most one row — the irreducible
     unit; the worker-side slicer in functions/extract.py bounds output
     accumulation the same way."""
+    # make the package importable in the PYTHON WORKERS regardless of the
+    # caller's cwd: local-mode workers inherit PYTHONPATH from the driver
+    # env, not the driver's sys.path, so a driver launched from another
+    # directory (python /root/repo/bench.py from /tmp) would fail UDF
+    # deserialization with ModuleNotFoundError.  On a real cluster this is
+    # spark-submit --py-files' job (jobs/extract_job_main.py docstring);
+    # guarded so a zip-packaged install is untouched.
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if os.path.isdir(os.path.join(pkg_root, "dhtmlparser3_spark")):
+        pp = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + pp if pp else "")
+            )
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
