@@ -43,6 +43,13 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators would all trivially return empty; these constructed copies
     give the correctness gate real positives.  The same construction is a
     three-branch UNION in the DuckDB oracle.
+
+    The copy ids live at fixed offsets (mirrored by the oracle), so the
+    source ids must stay below NEAR_DUP_OFFSET — otherwise a real doc_id
+    would collide with a synthesized copy and pair outputs become
+    ambiguous.  Asserted here (one scalar) rather than left latent: the
+    sandbox tiers hold ≤ 500 docs, and a larger demo corpus must pick
+    larger offsets.
     """
     from dhtmlparser3_spark.plans.layout import spread
 
@@ -51,6 +58,13 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text"
         )
     )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= NEAR_DUP_OFFSET:
+        raise ValueError(
+            f"dedup_corpus: max doc_id {max_id} collides with the copy-id "
+            f"offset {NEAR_DUP_OFFSET}; raise NEAR_DUP_OFFSET/"
+            f"EXACT_DUP_OFFSET (and their oracle mirrors) for this corpus"
+        )
     toks = tokens_col("text")
     keep = F.ceil(F.size(toks) * TRUNC_NUM / TRUNC_DEN).cast("int")
     near = (

@@ -91,7 +91,14 @@ def main_block(pages: DataFrame) -> DataFrame:
         import pandas as pd
 
         def one(h):
-            r = density_main_block(decode_html(h))
+            # poison-page contract (same as every parse UDF in
+            # functions/extract.py): a raising document yields a NULL
+            # row, never a task failure — parse_arena propagates the
+            # reference's ValueError on out-of-range numeric entities
+            try:
+                r = density_main_block(decode_html(h))
+            except Exception:  # noqa: BLE001 — error-row at scale
+                r = None
             if r is None:
                 return {"block_name": None, "block_text_len": None}
             return {"block_name": r[0], "block_text_len": r[1]}

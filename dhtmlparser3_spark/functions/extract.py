@@ -264,12 +264,20 @@ def make_nodes_arrow_iterator(fields=None, passthrough=("url",)):
             gc.disable()
             try:
                 for h in htmls:
+                    # snapshot per-field lengths: if append_nodes_columns
+                    # raises MIDWAY (after extending some fields), the
+                    # error-row policy must roll the partial appends back
+                    # or the child arrays end up misaligned and
+                    # StructArray.from_arrays kills the whole task
+                    marks = [len(cols[f]) for f in flds]
                     try:
                         total += append_nodes_columns(
                             parse_arena(decode_html(h)), cols
                         )
                         is_null.append(False)
                     except Exception:  # noqa: BLE001 — error-row policy
+                        for f, m in zip(flds, marks):
+                            del cols[f][m:]
                         is_null.append(True)
                     offsets.append(total)
             finally:

@@ -179,6 +179,12 @@ def pagerank(edges: DataFrame, iters: int = 5, damp_pct: int = 85) -> DataFrame:
         .distinct()
     )
     probe = nodes_dist.limit(_LOCAL_NODES_MAX + 1).collect()
+    if not probe:
+        # empty edge set (a corpus with no <a href> links): empty ranks,
+        # not a ZeroDivisionError at base = PR_SCALE // n_hosts
+        return edges.sparkSession.createDataFrame(
+            [], "host string, rank long"
+        )
     if len(probe) <= _LOCAL_NODES_MAX:
         spark = edges.sparkSession
         hosts = sorted(r[0] for r in probe)

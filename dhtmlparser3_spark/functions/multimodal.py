@@ -116,8 +116,12 @@ def sample_frames(media: DataFrame, every: int = 5) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(bytes(payload))
-                n_frames = n % 30 + 1
+                b = bytes(payload)
+                n = len(b)
+                # ONE source of truth for the frame count: the decoder —
+                # an inline copy of the formula would silently diverge
+                # the day the decode seam changes
+                n_frames = _fake_decode("video", b)[3]
                 frame_bytes = n // n_frames
                 for idx in range(0, n_frames, every):
                     rows.append((doc_id, idx, frame_bytes))

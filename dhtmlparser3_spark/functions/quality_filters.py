@@ -31,7 +31,11 @@ from dhtmlparser3_spark.functions.textops import token_list, tokens_col
 # portable regexes: same semantics under java.util.regex (Spark) and RE2
 # (DuckDB) — character classes, no lookaround, no \d shorthand ambiguity
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^ ]+"
+# [^\s], not [^ ]: a space-only class lets one match run across
+# tabs/newlines and merge adjacent URLs (undercounting n_urls) — and the
+# DuckDB oracle consumes this SAME constant, so the two engines always
+# agree on the pattern
+URL_RE = r"https?://[^\s]+"
 DIGIT_RUN_RE = r"[0-9]{8,}"
 
 PII_MOD = 7  # doc_id % PII_MOD == 0 rows get the injected PII suffix
@@ -219,7 +223,14 @@ def canonical_url_col(col: str = "url") -> "F.Column":
     Spark's array_sort and DuckDB's list_sort for ASCII keys.
     """
     c = F.col(col)
-    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    # scheme requires the FULL "://" — a bare ":" would classify
+    # non-hierarchical URLs (mailto:, tel:, javascript:, data:) as
+    # canonicalizable and collapse them all to "scheme://" (the host/rest
+    # regexes extract nothing), merging distinct keys in url-keyed dedup;
+    # they take the schemeless passthrough below instead
+    scheme = F.lower(
+        F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
     hostport = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
@@ -239,6 +250,7 @@ def canonical_url_col(col: str = "url") -> "F.Column":
         path,
         F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
-    # schemeless/relative junk (crawl tables do contain it) passes through
-    # unchanged rather than collapsing to "://"
+    # schemeless/relative junk AND non-hierarchical URLs (mailto:, tel:,
+    # javascript:, data: — crawl tables contain all of them) pass through
+    # unchanged rather than collapsing to "scheme://"
     return F.when(scheme == "", c).otherwise(canon)

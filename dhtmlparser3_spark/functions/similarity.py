@@ -57,14 +57,22 @@ def cosine_topk(
     only the query side is broadcast, and the window is per-query-partition
     (no global sort).
     """
+    # norms are computed ONCE PER ROW on each side BEFORE the join — the
+    # interpreted dim-step fold inside the pair projection would re-fold
+    # the same query norm once per corpus row (Q×N extra folds);
+    # numerically identical: same left-to-right fold, evaluated earlier
     base = emb.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
-    )
-    queries = emb.where(F.col(id_col) % query_mod == 0).select(
-        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("q")
+    ).withColumn("vn", norm_col(F.col("v")))
+    queries = (
+        emb.where(F.col(id_col) % query_mod == 0)
+        .select(
+            F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("q")
+        )
+        .withColumn("qn", norm_col(F.col("q")))
     )
     pairs = base.crossJoin(F.broadcast(queries)).where(F.col("qid") != F.col("nid"))
-    sim = (dot_col(F.col("q"), F.col("v")) / (norm_col(F.col("q")) * norm_col(F.col("v")))).alias("sim")
+    sim = (dot_col(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("sim")
     scored = pairs.select("qid", "nid", sim)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
     return (
@@ -91,6 +99,15 @@ def embedding_dup_corpus(emb: DataFrame, id_col: str = "vec_id", vec_col: str = 
     both engines.  float32→double then double arithmetic is IEEE-exact in
     both Spark and DuckDB, so the constructed vectors are bit-identical."""
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # same fixed-offset collision guard as dedup.dedup_corpus: a source
+    # id at or above the offset would alias a synthesized copy
+    max_id = base.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= EMB_DUP_OFFSET:
+        raise ValueError(
+            f"embedding_dup_corpus: max vec_id {max_id} collides with "
+            f"EMB_DUP_OFFSET {EMB_DUP_OFFSET}; raise the offset (and its "
+            f"oracle mirror) for this corpus"
+        )
     pert = base.where(F.col("vec_id") % EMB_DUP_MOD == 0).select(
         (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
         F.transform(
@@ -108,15 +125,21 @@ def _cosine_verify_pairs(corpus: DataFrame, cand: DataFrame, tau: float) -> Data
     joins against the corpus (the candidate side is tiny — AQE broadcasts
     it), same deterministic left-fold arithmetic as the brute path so the
     surviving rows are bit-identical to brute force."""
-    a = corpus.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
+    # one norm per corpus row BEFORE the joins (not per surviving pair)
+    sided = corpus.withColumn("n", norm_col(F.col("embedding")))
+    a = sided.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_v"),
+        F.col("n").alias("a_n"),
     )
-    b = corpus.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")
+    b = sided.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_v"),
+        F.col("n").alias("b_n"),
     )
     j = cand.join(a, "a_id").join(b, "b_id")
     sim = dot_col(F.col("a_v"), F.col("b_v")) / (
-        norm_col(F.col("a_v")) * norm_col(F.col("b_v"))
+        F.col("a_n") * F.col("b_n")
     )
     return (
         j.select("a_id", "b_id", sim.alias("sim"))
@@ -133,12 +156,14 @@ def embedding_dup_pairs_brute(
     """Embedding-cosine near-dup pairs, brute force: ALL pairs with cos ≥ τ.
     Quadratic in corpus size — the small-corpus baseline and the recall
     oracle for :func:`embedding_dup_pairs` (which is what ships)."""
-    corpus = embedding_dup_corpus(emb, id_col, vec_col)
+    corpus = embedding_dup_corpus(emb, id_col, vec_col).withColumn(
+        "n", norm_col(F.col("embedding"))
+    )
     a = corpus.alias("a")
     b = corpus.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
     sim = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
-        norm_col(F.col("a.embedding")) * norm_col(F.col("b.embedding"))
+        F.col("a.n") * F.col("b.n")
     )
     return (
         pairs.select(
@@ -271,18 +296,18 @@ def ivf_ann_topk(
         F.col(id_col).alias("nid"),
         _as_double(F.col(vec_col)).alias("v"),
         F.element_at(_cell_udf(1)(F.col(vec_col)), 1).alias("cell"),
-    )
+    ).withColumn("vn", norm_col(F.col("v")))
     queries = emb.where(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("q"),
         F.explode_outer(_cell_udf(n_probe)(F.col(vec_col))).alias("cell"),
-    ).where(F.col("cell").isNotNull())
+    ).where(F.col("cell").isNotNull()).withColumn("qn", norm_col(F.col("q")))
     cand = base.join(F.broadcast(queries), "cell").where(
         F.col("qid") != F.col("nid")
     )
+    # norms folded once per row pre-join, not per candidate pair
     sim = (
-        dot_col(F.col("q"), F.col("v"))
-        / (norm_col(F.col("q")) * norm_col(F.col("v")))
+        dot_col(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn"))
     ).alias("sim")
     scored = cand.select("qid", "nid", sim)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
@@ -367,15 +392,26 @@ def _probe_udf(planes, n_planes: int, n_tables: int, n_flip: int):
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (V @ mat) > 0
         pw = 1 << np.arange(n_planes)
+        # all Hamming-r probe masks for r = 1..n_flip, precomputed once —
+        # a bare `if n_flip >= 1: flip one bit` would silently serve
+        # multiprobe=2 callers the flip-1 probe set (round-4 review)
+        from itertools import combinations
+
+        masks = []
+        for r in range(1, min(n_flip, n_planes) + 1):
+            for combo in combinations(range(n_planes), r):
+                m = 0
+                for j in combo:
+                    m |= 1 << j
+                masks.append(m)
         out = []
         for row in bits:
             keys = []
             for t in range(n_tables):
                 code = int((row[t * n_planes : (t + 1) * n_planes] * pw).sum())
                 keys.append({"t": t, "b": code})
-                if n_flip >= 1:
-                    for j in range(n_planes):
-                        keys.append({"t": t, "b": code ^ (1 << j)})
+                for m in masks:
+                    keys.append({"t": t, "b": code ^ m})
             out.append(keys)
         return pd.Series(out)
 
@@ -418,21 +454,21 @@ def lsh_ann_topk(
         F.col(id_col).alias("nid"),
         _as_double(F.col(vec_col)).alias("v"),
         F.posexplode_outer(buckets(F.col(vec_col))).alias("t", "b"),
-    ).where(F.col("b").isNotNull())
+    ).where(F.col("b").isNotNull()).withColumn("vn", norm_col(F.col("v")))
     queries = emb.where(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("q"),
         F.explode_outer(probes(F.col(vec_col))).alias("tb"),
     ).where(F.col("tb").isNotNull()).select(
         "qid", "q", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
-    )
+    ).withColumn("qn", norm_col(F.col("q")))
 
     cand = base.join(F.broadcast(queries), ["t", "b"]).where(
         F.col("qid") != F.col("nid")
     )
+    # norms folded once per row pre-join, not per candidate pair
     sim = (
-        dot_col(F.col("q"), F.col("v"))
-        / (norm_col(F.col("q")) * norm_col(F.col("v")))
+        dot_col(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn"))
     ).alias("sim")
     scored = cand.select("qid", "nid", sim).groupBy("qid", "nid").agg(
         F.max("sim").alias("sim")

@@ -81,9 +81,12 @@ def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
 def with_quality(df: DataFrame, col: str = "text") -> DataFrame:
     """Integer quality counters + a deterministic integer score 0-100.
 
-    score = 40*cap(mean_token_len in [3,8]) + 30*(1 - punct_ratio)
-          + 30*stopword_presence, computed with integer arithmetic only so
-    the DuckDB oracle reproduces it bit-for-bit.
+    score = min(40, int(40*n_alpha/n_chars))                 # alpha ratio
+          + min(30, int(30*n_stopwords*5/n_tokens))          # stopword freq
+          + max(0, 30 - int(100*n_punct/n_chars))            # punct penalty
+    and 0 when n_tokens == 0 — integer arithmetic only, so the DuckDB
+    oracle reproduces it bit-for-bit (the oracle SQL is this formula
+    verbatim; keep both in sync).
     """
     t = F.col(col)
     n_chars = F.length(t)
