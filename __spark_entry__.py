@@ -2365,11 +2365,13 @@ def oracle_sql() -> dict[str, str]:
         "host_topk": _sql_host_topk(),
         "sessions_batch": """
           WITH marked AS (
+            -- microsecond gap arithmetic (epoch_us), matching the Spark
+            -- side's unix_micros: whole-second truncation would
+            -- split/merge differently on sub-second margins
             SELECT user_id, ts,
                    CASE WHEN COALESCE(
-                       CAST(floor(epoch(ts)) AS BIGINT)
-                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT),
-                       1801) > 1800
+                       epoch_us(ts) - epoch_us(lag(ts) OVER w),
+                       1800000001) > 1800000000
                    THEN 1 ELSE 0 END AS new_sess
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)

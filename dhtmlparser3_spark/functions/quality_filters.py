@@ -185,6 +185,13 @@ def mixture_sample(
     closed-form; a production run would broadcast-join a real rate table.
     Whole-stage codegen, zero shuffles, zero Python.
     """
+    rate, bucket = _mixture_rate_bucket(base_pct, group_col, id_col)
+    return docs.select(
+        id_col, group_col, rate.cast("int").alias("rate_pct")
+    ).where(bucket < rate)
+
+
+def _mixture_rate_bucket(base_pct: int, group_col: str, id_col: str):
     from dhtmlparser3_spark.functions.textops import hash60_col
 
     # a source with no trailing digits contributes suffix 0 (keep rate =
@@ -200,9 +207,18 @@ def mixture_sample(
         hash60_col(F.concat(F.lit("mix-"), F.col(id_col).cast("string"))),
         F.lit(100),
     )
-    return docs.select(
-        id_col, group_col, rate.cast("int").alias("rate_pct")
-    ).where(bucket < rate)
+    return rate, bucket
+
+
+def mixture_keep_col(
+    base_pct: int = 20, group_col: str = "source", id_col: str = "doc_id"
+) -> "F.Column":
+    """The :func:`mixture_sample` keep decision as a bare boolean COLUMN —
+    for callers that carry (id, group) themselves and want the sample to
+    fuse into their plan as a ``where()`` instead of paying a semi-join
+    back against mixture_sample's projection."""
+    rate, bucket = _mixture_rate_bucket(base_pct, group_col, id_col)
+    return bucket < rate
 
 
 def canonical_url_col(col: str = "url") -> "F.Column":

@@ -37,9 +37,15 @@ def extract_delta(new_pages: DataFrame, old: DataFrame) -> DataFrame:
         "url",
         "left",
     )
+    # null-SAFE digest compare: a NULL html row (fetch failure) has digest
+    # NULL, and `old_digest != NULL` is NULL — a plain .otherwise() chain
+    # would classify it "unchanged" and silently reuse stale text.  With
+    # eqNullSafe it routes to "changed" and takes the FRESH parse path
+    # (NULL decodes to "" repo-wide) — consistent with NULL html on a
+    # NEW url, and never serving stale text for a failed fetch.
     status = (
         F.when(F.col("old_digest").isNull(), "new")
-        .when(F.col("old_digest") != F.col("digest"), "changed")
+        .when(~F.col("old_digest").eqNullSafe(F.col("digest")), "changed")
         .otherwise("unchanged")
     )
     j = j.withColumn("status", status)

@@ -21,8 +21,10 @@ single `writeTo(...).append()` of output+lineage in one transaction):
   that is re-written (overwrite, idempotent) on resume, never duplicated.
 * Resume = anti-join pending buckets against completed lineage rows
   (``left_anti`` on bucket id), then continue.
-* The digest (xor of per-url crc32 of extracted text) makes re-runs
-  verifiable: re-extracting a completed bucket must reproduce its digest.
+* The digest (SUM of per-url crc32 of extracted text — order-free like
+  xor, and what both _process_bucket and verify_run compute) makes
+  re-runs verifiable: re-extracting a completed bucket must reproduce
+  its digest.
 
 At 10^12 docs: buckets ≈ tens of thousands (each a few GB), lineage table
 stays tiny, and every micro-run is one Spark job with bounded state —
@@ -55,11 +57,28 @@ def with_bucket(pages: DataFrame, n_buckets: int, salt: int = 2024) -> DataFrame
 
 
 def completed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame:
-    """Buckets with a committed lineage row (empty frame if none yet)."""
+    """Buckets with a committed lineage row (empty frame if none yet).
+
+    ONLY a missing path means "no lineage yet" — a corrupt lineage file,
+    permission error, or transient storage failure must PROPAGATE:
+    swallowing it would mark every bucket pending, silently re-extract
+    the whole corpus, and append duplicate lineage rows that verify_run
+    then flags as corruption."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    local = "://" not in lineage_path
+    if local and not os.path.exists(lineage_path):
+        # fast check for local paths only — on a remote FS (s3://, hdfs://)
+        # os.path.exists is always False and must not be consulted; the
+        # read below handles remote path-not-found via the exception class
+        return spark.createDataFrame([], "bucket int")
     try:
         return spark.read.parquet(lineage_path).select("bucket").distinct()
-    except Exception:  # noqa: BLE001 — no lineage yet
-        return spark.createDataFrame([], "bucket int")
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], "bucket int")
+        raise
 
 
 def pending_buckets(

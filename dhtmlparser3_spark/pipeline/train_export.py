@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dhtmlparser3_spark.functions.packing import pack_summary
-from dhtmlparser3_spark.functions.quality_filters import mixture_sample
+from dhtmlparser3_spark.functions.quality_filters import mixture_keep_col
 from dhtmlparser3_spark.functions.textops import split_assignment_col
 
 
@@ -34,11 +34,10 @@ def train_export(
 ) -> DataFrame:
     """(split, pack_id, n_docs, n_tokens) — packed sequence inventory of the
     sampled corpus, train and val packed as independent streams."""
-    sampled = docs.join(
-        mixture_sample(docs, base_pct=base_pct).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    # the keep decision is a pure expression of columns docs already has,
+    # so it fuses as a where() — a semi-join back against mixture_sample
+    # would scan docs twice and pay an exchange for nothing
+    sampled = docs.where(mixture_keep_col(base_pct=base_pct))
     tagged = sampled.withColumn(
         "split", split_assignment_col("text", train_pct=train_pct)
     )

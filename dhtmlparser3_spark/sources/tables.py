@@ -36,20 +36,30 @@ def have_iceberg(spark: SparkSession) -> bool:
         return False
 
 
+def _looks_like_table_name(source: str) -> bool:
+    """Catalog table identifiers (``db.pages``) vs filesystem paths: a
+    path contains a separator or scheme; plain parquet datasets are
+    normally DIRECTORIES (no ``.parquet`` suffix), so suffix-sniffing
+    alone would mis-route every directory written by :func:`write_pages`
+    to the Iceberg reader on an Iceberg-enabled cluster."""
+    return "/" not in source and "\\" not in source and "://" not in source
+
+
 def read_pages(
     spark: SparkSession, source: str, fmt: str = "auto"
 ) -> DataFrame:
     """Read the pages table from ``source``.
 
     fmt="iceberg": ``source`` is a catalog table name (db.pages) or table
-    path; fmt="parquet": a directory of parquet files; fmt="auto" uses
-    Iceberg when the runtime is present and the source does not look like
-    a plain ``*.parquet`` path.
-    """
+    path; fmt="parquet": a file/directory of parquet; fmt="auto" uses
+    Iceberg only when the runtime is present AND ``source`` looks like a
+    catalog table identifier — any filesystem path routes to parquet
+    (pass fmt="iceberg" explicitly for an Iceberg table addressed by
+    path)."""
     if fmt == "auto":
         fmt = (
             "iceberg"
-            if have_iceberg(spark) and not source.endswith(".parquet")
+            if have_iceberg(spark) and _looks_like_table_name(source)
             else "parquet"
         )
     if fmt == "iceberg":
@@ -72,11 +82,15 @@ def write_bucketed(
 
 
 def write_pages(df: DataFrame, target: str, fmt: str = "auto") -> None:
-    """Append extracted rows to ``target`` (Iceberg table or parquet dir)."""
+    """Append extracted rows to ``target`` (Iceberg table or parquet dir).
+    Auto mode mirrors :func:`read_pages`: Iceberg only for catalog table
+    identifiers, parquet for any filesystem path — so a directory written
+    here always round-trips through read_pages."""
     if fmt == "auto":
         fmt = (
             "iceberg"
-            if have_iceberg(df.sparkSession) and not target.endswith(".parquet")
+            if have_iceberg(df.sparkSession)
+            and _looks_like_table_name(target)
             else "parquet"
         )
     if fmt == "iceberg":

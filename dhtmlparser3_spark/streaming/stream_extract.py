@@ -80,15 +80,22 @@ def start_foreach_batch(
 
 def dedup_stream(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Streaming exact dedup: keep the first arrival of each content
-    digest across micro-batches (engine-managed dedup state).  The
-    event-time watermark bounds state at ingest scale — a duplicate (or
-    straggler row) arriving later than the watermark is dropped, the
-    standard state/recall trade; size it to the ingest's event-time
-    spread."""
+    digest across micro-batches (engine-managed dedup state).
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: the engine
+    only evicts dedup state by watermark when the event-time column is in
+    the dedup subset, and the digest deliberately isn't event-time — a
+    plain dropDuplicates(md5) would hold one state row per distinct
+    digest FOREVER (the exact unbounded-state hazard at ingest scale,
+    which is why Spark 3.5 added the WithinWatermark variant).  The
+    state/recall trade: duplicates arriving within the watermark delay of
+    the first copy are dropped; a duplicate arriving after the first
+    copy's state was evicted is emitted again.  Size ``watermark`` to the
+    ingest's duplicate event-time spread."""
     return (
         pages_stream.withColumn("text_md5", F.md5(F.col("text")))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["text_md5"])
+        .dropDuplicatesWithinWatermark(["text_md5"])
     )
 
 

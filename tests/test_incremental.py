@@ -53,6 +53,31 @@ def test_extract_delta_routes_and_reuses(spark):
 
 
 @pytest.mark.spark
+def test_extract_delta_null_html_on_known_url_not_unchanged(spark):
+    """A NULL html re-crawl row (fetch failure) for a previously seen url
+    must NOT be classified 'unchanged' (round-4 review: `old != NULL` is
+    NULL and a plain otherwise() silently reused stale text) — it routes
+    to 'changed' and re-parses, consistent with NULL html on a new
+    url."""
+    pages = spark.createDataFrame(
+        [("u1", None), ("unew", None)], "url string, html binary"
+    )
+    old = spark.createDataFrame(
+        [("u1", "somedigest", "stale-text")],
+        "url string, digest string, extracted_text string",
+    )
+    rows = {r["url"]: r for r in extract_delta(pages, old).collect()}
+    assert rows["u1"]["status"] == "changed"
+    assert rows["u1"]["extracted_text"] != "stale-text"
+    assert rows["unew"]["status"] == "new"
+    # both take the FRESH parse path; NULL html decodes to "" repo-wide
+    # (decode_html), so both rows parse to empty text identically
+    assert (
+        rows["u1"]["extracted_text"] == rows["unew"]["extracted_text"] == ""
+    )
+
+
+@pytest.mark.spark
 def test_extract_delta_parses_only_changed_rows(spark):
     pages, old = _frames(spark)
     plan = (

@@ -138,3 +138,25 @@ def test_batch_sessionizer_gap_semantics(spark):
     assert len(per_user[1]) == 2
     assert sorted(s.n_events for s in per_user[1]) == [1, 2]
     assert len(per_user[2]) == 1
+
+
+@pytest.mark.spark
+def test_batch_sessionizer_microsecond_gap_boundary(spark):
+    """Gaps compare in µs like the stream (round-4 review): 1800.000001 s
+    splits, exactly 1800 s does not — unix_timestamp() truncation would
+    merge the first pair (1800s) and still merge the second."""
+    rows = [
+        (1, "2024-01-01 00:00:00.000000"),
+        (1, "2024-01-01 00:30:00.000001"),  # gap > 30min by 1µs → split
+        (2, "2024-01-01 00:00:00.500000"),
+        (2, "2024-01-01 00:30:00.500000"),  # gap == 30min exactly → merge
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    res = ss.sessionize_batch(df, gap_minutes=30).collect()
+    per_user = {}
+    for r in res:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 2, per_user
+    assert len(per_user[2]) == 1 and per_user[2][0].n_events == 2, per_user
