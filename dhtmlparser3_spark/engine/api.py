@@ -66,9 +66,18 @@ def parse_file(path: str, case_insensitive_parameters: bool = True) -> FileParse
 
 def Tag(name, parameters=None, content=None, is_non_pair=False) -> "Node":
     """Construct a free-standing tag node (reference Tag.__init__,
-    tag.py:26-41) backed by its own one-node arena."""
+    tag.py:26-41) backed by its own one-node arena.  A plain-dict
+    ``parameters`` goes through SpecialDict construction in the reference
+    (tag.py:32), which FOLDS case-duplicate keys last-wins — mirrored via
+    fold_attrs: Tag('x', {'A': '1', 'a': '2'}) keeps only a="2"."""
+    from dhtmlparser3_spark.engine.dom import fold_attrs
+
     a = Arena(case_insensitive=True)
-    attrs = list(parameters.items()) if parameters else []
+    attrs = (
+        fold_attrs(list(parameters.items()), case_insensitive=True)
+        if parameters
+        else []
+    )
     nid = a.new_node(TAG, name, attrs, non_pair=is_non_pair)
     node = Node(a, nid)
     a.result_root = nid
@@ -209,8 +218,10 @@ class CommentNode:
     def __ne__(self, other):
         return not self.__eq__(other)
 
-    def __hash__(self):
-        return hash(self.to_string())
+    # the reference Comment defines __eq__ WITHOUT __hash__, which makes
+    # it unhashable (tags/comment.py:20-27) — so hash() of any Node whose
+    # content contains a comment raises TypeError; mirrored
+    __hash__ = None
 
 
 class Node:
@@ -380,11 +391,15 @@ class Node:
         raise ValueError(f"Can't remove `{repr(item)}`")
 
     def remove(self, item) -> bool:
-        """tag.py:90-108 — recursive first-match removal, `is` identity."""
+        """tag.py:90-108 — recursive `is`-identity search, but the actual
+        removal DELEGATES to remove_item (tag.py:102), which for strings
+        does ``list.remove`` → the FIRST VALUE-equal sibling goes, not
+        necessarily the identity match that triggered it (reference
+        quirk: remove(second "xy") removes the first "xy")."""
         a = self.arena
         for ch in a.children[self.nid]:
             if self._is_same(ch, item):
-                del a.children[self.nid][a.children[self.nid].index(ch)]
+                self.remove_item(item)
                 return True
             if a.kind[ch] == TAG and Node(a, ch).remove(item):
                 return True
@@ -395,8 +410,15 @@ class Node:
         a = self.arena
         if isinstance(item, str):
             pid = a.parent[self.nid]
+            if pid < 0:
+                # the reference evaluates self.parent.name BEFORE its
+                # `if self.parent` check (tag.py:202-204), so a parentless
+                # node raises — mirrored, including the exception type
+                raise AttributeError(
+                    "'NoneType' object has no attribute 'name'"
+                )
             unused_root = (
-                pid >= 0 and a.name[pid] == "" and len(a.children[pid]) == 1
+                a.name[pid] == "" and len(a.children[pid]) == 1
             )
             if pid >= 0 and not unused_root:
                 tn = a.new_node(TEXT, text=item, parent=pid)
@@ -492,12 +514,25 @@ class Node:
                 kids.insert(0, vid)
             else:
                 t = self.tags[key.start]
-                kids.insert(kids.index(t.nid), vid)
+                kids.insert(self._content_index_eq(t), vid)
         else:
             t = self.tags[key]
-            kids[kids.index(t.nid)] = vid
+            kids[self._content_index_eq(t)] = vid
         if a.kind[vid] == TAG:
             a.parent[vid] = self.nid
+
+    def _content_index_eq(self, t: "Node") -> int:
+        """``content.index(item)`` in the reference (tag.py:546-553)
+        compares with ``==``, and Tag equality is STRUCTURAL (name +
+        params + is_non_pair, content ignored) — so the FIRST equal
+        sibling's position wins, not the k-th tag's own position:
+        ``dom[1] = Tag('b')`` on two equal <a> siblings replaces the
+        FIRST one."""
+        a = self.arena
+        for i, ch in enumerate(a.children[self.nid]):
+            if a.kind[ch] == TAG and a.tag_equal(ch, t.nid):
+                return i
+        raise ValueError(f"{t!r} is not in list")
 
     def __contains__(self, item):
         """tag.py:556-560: str → param key (case-insens); else membership in
@@ -592,13 +627,37 @@ def _import_subtree(dst: Arena, src: Arena, nid: int, parent: int) -> int:
 
 class WContainer:
     """The chainable result of ``wfind`` — models the reference's empty-name
-    container with ``_wfind_only_on_content`` (tag.py:222-238)."""
+    container with ``_wfind_only_on_content`` (tag.py:222-238).
 
-    __slots__ = ("arena", "ids")
+    The reference container IS a full blank-named Tag, so every Tag
+    method chains off it — ``dom.wfind('p').find('a')``,
+    ``.content_str()``, ``.match(...)`` all work.  WContainer implements
+    the wfind-specific chain steps natively and DELEGATES the rest of
+    the Tag surface to a lazily-materialized blank container node whose
+    children are the matches (one extra arena node per delegating
+    container; the matches keep their original parents, as in the
+    reference)."""
+
+    __slots__ = ("arena", "ids", "_cid")
 
     def __init__(self, arena: Arena, ids: List[int]):
         self.arena = arena
         self.ids = ids
+        self._cid = None
+
+    def _as_node(self) -> Node:
+        if self._cid is None:
+            a = self.arena
+            cid = a.new_node(TAG, "", [], parent=-1)
+            a.children[cid] = list(self.ids)
+            self._cid = cid
+        return Node(self.arena, self._cid)
+
+    def __getattr__(self, attr):
+        # only fires for attributes WContainer itself doesn't define
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        return getattr(self._as_node(), attr)
 
     @property
     def content(self) -> List[Node]:

@@ -216,12 +216,18 @@ class Arena:
     def iter_breadth_first(self, root: Optional[int] = None, tags_only: bool = False):
         """Level-ish order per breadth_first_iterator (tag.py:366-381): self,
         then children, then recurse into each child in order."""
+        from collections import deque
+
         if root is None:
             root = self.result_root
         yield root
-        queue = [root]
+        # deque, not list: pop(0) + "nxt + queue" list rebuilding is
+        # O(n^2) on wide junk documents (50k siblings under one parent);
+        # popleft/extendleft(reversed(...)) yields the IDENTICAL order in
+        # O(n)
+        queue = deque([root])
         while queue:
-            nid = queue.pop(0)
+            nid = queue.popleft()
             nxt = []
             for ch in self.children[nid]:
                 k = self.kind[ch]
@@ -232,7 +238,7 @@ class Arena:
                     yield ch
             # reference recursion order: finish this node's children, then
             # recurse child-by-child (NOT a plain FIFO over the whole level)
-            queue = nxt + queue
+            queue.extendleft(reversed(nxt))
         return
 
 
@@ -368,17 +374,16 @@ def _hoist_content(a: Arena, npt: int, par: int) -> None:
 
 
 def parse_arena(
-    string: str, case_insensitive_parameters: bool = True, lenient: bool = False
+    string: str, case_insensitive_parameters: bool = True
 ) -> Arena:
     """str → Arena; the engine-level equivalent of dhtmlparser3.parse
     (__init__.py:24-26).
 
-    ``lenient=True`` is our scale-mode extension: numeric entities whose
-    codepoint overflows ``chr`` (where the reference raises ValueError) fall
-    back to treating the document defensively by re-lexing with those
-    entities left undecoded is NOT attempted — instead the error propagates
-    unless lenient, in which case the caller maps the document to an error
-    row.  Kept strict by default for byte-parity.
+    STRICT for byte-parity: numeric entities whose codepoint overflows
+    ``chr`` raise exactly as the reference does (ValueError /
+    OverflowError); the Spark-tier UDF wrappers map that to an error ROW
+    per document (functions/extract.py error-row policy) — there is no
+    in-engine lenient mode.
     """
     s = strip_bom(string)
     return build_arena(lexer.lex(s), case_insensitive=case_insensitive_parameters)

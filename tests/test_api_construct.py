@@ -197,3 +197,61 @@ def test_layout_probe_edge_cases(spark):
     assert has_parallelism(joined, 64)
     # non-hinted joins still take the conservative min over branches
     assert not has_parallelism(wide.join(dim, "doc_id"), 64)
+
+
+def test_mutation_surface_reference_quirks(ref):
+    """Round-4 review parity pins: the reference's mutation surface has
+    value-vs-identity quirks our views must reproduce exactly."""
+    from dhtmlparser3_spark.engine import api
+
+    # remove(str) delegates to list.remove → FIRST VALUE-equal sibling
+    # goes, even when the identity match was the second one
+    rd = ref.parse("<div>xy<b></b>xy</div>")
+    rd.remove(rd.find("div")[0].content[2])
+    od = api.parse("<div>xy<b></b>xy</div>")
+    od.remove(od.find("div")[0].content[2])
+    assert str(od) == str(rd) == "<div><b></b>xy</div>"
+
+    # __setitem__ locates the slot via content.index == (structural Tag
+    # equality): dom[1] = Tag('b') replaces the FIRST equal <a>
+    rd = ref.parse("<div><a>x</a><a>y</a></div>").find("div")[0]
+    rd[1] = ref.Tag("b")
+    od = api.parse("<div><a>x</a><a>y</a></div>").find("div")[0]
+    od[1] = api.Tag("b")
+    assert str(od) == str(rd) == "<div><b></b><a>y</a></div>"
+    rd = ref.parse("<div><a>x</a><a>y</a></div>").find("div")[0]
+    rd[1:] = ref.Tag("b")
+    od = api.parse("<div><a>x</a><a>y</a></div>").find("div")[0]
+    od[1:] = api.Tag("b")
+    assert str(od) == str(rd)
+
+    # wfind returns a full blank Tag: non-wfind methods chain off it
+    html = '<p><a href="x">t</a></p><p><b><a href="y">u</a></b></p>'
+    assert [str(t) for t in api.parse(html).wfind("p").find("a")] == [
+        str(t) for t in ref.parse(html).wfind("p").find("a")
+    ]
+    assert (
+        api.parse(html).wfind("p").content_str()
+        == ref.parse(html).wfind("p").content_str()
+    )
+
+    # Tag(dict) folds case-duplicate keys via SpecialDict (last wins)
+    assert str(api.Tag("x", {"A": "1", "a": "2"})) == str(
+        ref.Tag("x", {"A": "1", "a": "2"})
+    )
+
+    # replace_with(str) on a parentless node: reference evaluates
+    # self.parent.name before the None check → AttributeError, mirrored
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        ref.Tag("x").replace_with("hello")
+    with _pytest.raises(AttributeError):
+        api.Tag("x").replace_with("hello")
+
+    # reference Comment is UNHASHABLE (__eq__ without __hash__): hash()
+    # of a comment-bearing node raises TypeError, mirrored
+    with _pytest.raises(TypeError):
+        hash(ref.parse("<div><!--c--></div>"))
+    with _pytest.raises(TypeError):
+        hash(api.parse("<div><!--c--></div>"))
