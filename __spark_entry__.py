@@ -1197,12 +1197,13 @@ def _q_ann_recall(spark, sf_dir):
     IVF) against the exact brute-force top-k, computed inside Spark; the
     DuckDB oracle pins the query count (from the table) and a PER-METHOD
     recall floor at what each index delivers AT EVERY SHIPPED SCALE
-    FACTOR (deterministic, measured: LSH 98/100/100 and IVF 66/80/72.5 at
-    sf0.001/0.01/0.1) — LSH ≥90, IVF ≥60 (n_probe=4 of 8 cells on
-    near-random synthetic embeddings is weakly selective; the
-    coarse-quantization trade).  A floor calibrated only at the driver's
-    sf0.01 (e.g. IVF ≥75) would falsely redden the row at the other
-    tiers users run this query at."""
+    FACTOR (deterministic, measured: LSH 98/100/100 and IVF 88/96/94 at
+    sf0.001/0.01/0.1) — LSH ≥90, IVF ≥85 (16 cells, 8-probe, 2-assign
+    redundant posting; the round-4 config — the old 8-cell/4-probe/
+    1-assign index delivered only 66/80/72.5, the coarse-quantization
+    trade on near-random synthetic embeddings).  A floor calibrated only
+    at the driver's sf0.01 (e.g. IVF ≥95) would falsely redden the row
+    at the other tiers users run this query at."""
     from dhtmlparser3_spark.functions.similarity import (
         cosine_topk,
         ivf_ann_topk,
@@ -1230,7 +1231,7 @@ def _q_ann_recall(spark, sf_dir):
             .alias("meets_floor"),
         )
 
-    return one("ivf", ivf_ann_topk, 60).unionByName(
+    return one("ivf", ivf_ann_topk, 85).unionByName(
         one("lsh", lsh_ann_topk, 90)
     )
 

@@ -246,8 +246,9 @@ def ivf_ann_topk(
     emb: DataFrame,
     k: int = 5,
     query_mod: int = 50,
-    n_centroids: int = 8,
-    n_probe: int = 4,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    n_assign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -255,13 +256,30 @@ def ivf_ann_topk(
     second scale path next to :func:`lsh_ann_topk`.
 
     * Coarse codebook: the ``n_centroids`` lowest-id vectors, L2-normalized
-      (deterministic — no RNG, no k-means iterations; at production scale
-      you would train the codebook offline and broadcast it identically).
-    * Assignment: every corpus vector goes to its nearest centroid by
-      cosine — one numpy matmul per Arrow batch (rows x dim @ dim x C).
+      (deterministic — no RNG, no k-means iterations; measured on this
+      corpus a 10-iteration deterministic Lloyd refinement LOWERS recall —
+      near-random embeddings collapse toward the mean without gaining
+      cell selectivity; at production scale you would train the codebook
+      offline and broadcast it identically).
+    * Redundant assignment (spill-tree style): every corpus vector is
+      posted to its ``n_assign`` nearest cells by cosine — one numpy
+      matmul per Arrow batch (rows x dim @ dim x C).  On weakly-clustered
+      corpora this is the lever that moves recall: a true neighbor that
+      straddles a Voronoi boundary is reachable from both adjacent cells.
+      Measured recall@5 at (16 cells, 8-probe, 2-assign):
+      0.88 / 0.96 / 0.94 at sf0.001/0.01/0.1 vs 0.66 / 0.80 / 0.725 for
+      the old (8, 4-probe, 1-assign) config, at candidate-scan fraction
+      ~0.76 vs ~0.50 of the corpus per query (these synthetic embeddings
+      are near-random — mean pairwise cos 0.002 — so ALL coarse indexes
+      are weakly selective here; clustered production embeddings scan a
+      far smaller fraction at the same recall).  Index storage is
+      ``n_assign``× (each vector appears in ``n_assign`` cells).
     * Probing: each query searches its ``n_probe`` nearest cells; recall
-      vs brute force is pinned in pytest.
+      vs brute force is pinned in pytest AND by the driver's oracled
+      ``ann_recall`` row (floor 85).
     * Join on cell id co-partitions candidates; only queries broadcast.
+      A pair reachable via several shared cells is deduped on its slim
+      (qid, nid, sim) projection before the per-query top-k window.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -295,8 +313,8 @@ def ivf_ann_topk(
     base = emb.select(
         F.col(id_col).alias("nid"),
         _as_double(F.col(vec_col)).alias("v"),
-        F.element_at(_cell_udf(1)(F.col(vec_col)), 1).alias("cell"),
-    ).withColumn("vn", norm_col(F.col("v")))
+        F.explode_outer(_cell_udf(n_assign)(F.col(vec_col))).alias("cell"),
+    ).where(F.col("cell").isNotNull()).withColumn("vn", norm_col(F.col("v")))
     queries = emb.where(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("q"),
@@ -309,7 +327,11 @@ def ivf_ann_topk(
     sim = (
         dot_col(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn"))
     ).alias("sim")
-    scored = cand.select("qid", "nid", sim)
+    # n_assign > 1 can surface the same (qid, nid) pair once per shared
+    # cell; sim is a deterministic fold of the same two vectors, so the
+    # slim 3-column distinct removes the duplicates bit-exactly BEFORE the
+    # top-k window (a duplicate surviving to the window would burn a rank)
+    scored = cand.select("qid", "nid", sim).distinct()
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -122,10 +122,12 @@ def test_ann_recall_floor(spark):
 
 @pytest.mark.spark
 def test_ivf_recall_floor(spark):
-    """IVF ANN (8 cells, 4-probe — the synthetic embeddings are near-random
-    so cells are weakly selective) must find ≥75% of true top-5 at sf0.01
-    (deterministic 0.80 measured; the driver's ann_recall row pins the
-    same per-method floor)."""
+    """IVF ANN (16 cells, 8-probe, 2-assign redundant posting — the
+    synthetic embeddings are near-random so cells are weakly selective;
+    the redundant assignment is what carries recall across Voronoi
+    boundaries) must find ≥85% of true top-5 at sf0.01 (deterministic
+    0.96 measured, 0.88/0.94 at sf0.001/sf0.1; the driver's ann_recall
+    row pins the same per-method floor)."""
     from dhtmlparser3_spark.functions.similarity import cosine_topk, ivf_ann_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -134,7 +136,7 @@ def test_ivf_recall_floor(spark):
     t = set(zip(truth.query_id, truth.neighbor_id))
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(t & a) / len(t)
-    assert recall >= 0.75, f"IVF recall {recall:.2f}"
+    assert recall >= 0.85, f"IVF recall {recall:.2f}"
 
 
 @pytest.mark.spark
