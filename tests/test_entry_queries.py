@@ -137,6 +137,13 @@ def test_ivf_recall_floor(spark):
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(t & a) / len(t)
     assert recall >= 0.85, f"IVF recall {recall:.2f}"
+    # redundant assignment surfaces a pair once per shared cell; the
+    # pre-window distinct must leave exactly k unique neighbors per query
+    # (a surviving duplicate would burn a rank and silently cost recall)
+    assert len(a) == len(approx), "duplicate (query, neighbor) pairs"
+    per_q = approx.groupby("query_id").neighbor_id.count()
+    assert (per_q == 5).all(), per_q.to_dict()
+    assert sorted(approx["rank"].unique()) == [1, 2, 3, 4, 5]
 
 
 @pytest.mark.spark

@@ -160,3 +160,57 @@ def test_batch_sessionizer_microsecond_gap_boundary(spark):
         per_user.setdefault(r.user_id, []).append(r)
     assert len(per_user[1]) == 2, per_user
     assert len(per_user[2]) == 1 and per_user[2][0].n_events == 2, per_user
+
+
+def _naive_groups(ts_sorted, gap_us):
+    """Reference gap-grouping of a raw sorted timestamp multiset: split
+    where the successor gap exceeds gap_us; report (start, end, count)."""
+    groups = []
+    cur = [ts_sorted[0]]
+    for t in ts_sorted[1:]:
+        if t - cur[-1] > gap_us:
+            groups.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    groups.append(cur)
+    return [(g[0], g[-1], len(g)) for g in groups]
+
+
+def test_merge_groups_incremental_equals_batch_property():
+    """The compacted-triple fold (sessions._merge_groups) must be EXACT:
+    folding events batch-by-batch through (start, end, count) triples
+    yields the same groups as one naive pass over the raw multiset.  This
+    is the invariant the round-4 state-compaction rewrite rests on — a
+    new point can extend a group, bridge two, or open its own, but never
+    split one (consecutive points inside a group are ≤ gap apart), so
+    interval boundaries carry all the information raw timestamps did.
+    Hypothesis drives random gaps, batch splits, duplicates, and boundary
+    collisions (ints drawn from a small range force exact-gap ties)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(0, 400), min_size=1, max_size=60),
+        st.integers(1, 25),
+        st.data(),
+    )
+    def run(points, gap_us, data):
+        pts = sorted(points)
+        # partition the multiset into 1-4 arrival batches ARBITRARILY —
+        # unlike the watermark-ordered stream, a later batch may carry a
+        # point before/inside/bridging any existing group; the fold must
+        # be exact for all of them (extend / bridge / open, never split)
+        n_batches = data.draw(st.integers(1, 4))
+        assign = [data.draw(st.integers(0, n_batches - 1)) for _ in pts]
+        batches = [
+            [p for p, a in zip(pts, assign) if a == b]
+            for b in range(n_batches)
+        ]
+        triples = []
+        for b in batches:
+            triples = ss._merge_groups(triples, sorted(b), gap_us)
+        assert triples == _naive_groups(pts, gap_us)
+
+    run()
