@@ -1,0 +1,317 @@
+"""WARC ingest: Common-Crawl-style ``.warc.gz`` files → the pages table.
+
+The north-star pipeline reads an Iceberg table of Common-Crawl-style pages
+(BASELINE.json ``input_hint``), but that table has to come from somewhere:
+Common Crawl publishes WARC — concatenated per-record gzip members, each
+member one ``WARC/1.0`` record (ISO 28500).  This module is the ingest
+edge that turns those files into ``(url, warc_ts, html)`` rows feeding
+``pipeline/extract_job.extract_pages`` or a pages-table sink, plus a
+deterministic writer so tests and benches can synthesize WARC input with
+no external data.
+
+Scale shape (100 TB = one Common Crawl monthly snapshot, ~72k files of
+~1 GiB):
+
+* ``spark.read.format("binaryFile")`` gives one task per WARC file — 72k
+  tasks is ample parallelism for a 1000-executor cluster, and the gzip
+  stream decodes sequentially anyway (per-record members make records
+  independently decodable, but FINDING member boundaries still means
+  scanning the stream — random access needs the CDX index, below).
+* The file's bytes are decoded and parsed inside ONE mapInArrow stage;
+  raw html never shuffles (the repo-wide rule — layout.py docstring), and
+  chaining ``extract_pages`` keeps parse+extract in the same stage.
+* Memory: ``binaryFile`` materializes each file's content as one row
+  (~1 GiB per CC shard) and ``maxPartitionBytes`` does NOT split it; the
+  iterator below decompresses and yields records in ``batch_rows``-sized
+  Arrow batches so only the current batch of record bodies is held
+  alongside the (unavoidable) compressed buffer.
+* Record-level random access — resuming mid-file, or fetching single
+  documents — comes from Common Crawl's CDX index, which carries
+  ``(filename, offset, length)`` per record precisely because each record
+  is its own gzip member.  ``rec_offset`` emitted here is that offset
+  (byte position of the member in the compressed file), so a lineage
+  checkpoint of ``(src_file, rec_offset)`` is replayable against the
+  published index; a ranged reader over the CDX table is the documented
+  seam for sub-file resume, not reimplemented here.
+
+Error policy (same as the extract tier — one poison record must never
+fail a task at 10^12-document scale): a record whose WARC headers do not
+parse yields an error ROW carrying ``(src_file, rec_offset, error)``; a
+corrupt gzip member additionally ends that FILE's scan (member boundaries
+after a corrupt stream cannot be trusted — the CDX offsets are how a real
+pipeline would skip past it) with one error row saying so.  Non-``response``
+records (warcinfo, request, metadata) are skipped: that is every WARC
+consumer's contract, not data loss.
+
+Reference tie-in: dhtmlparser3 has no I/O beyond ``parse_file``
+(dhtmlparser3/__init__.py:14-23 — whole-file read, encoding arg ignored);
+WARC ingest is pipeline scope on top, and the decoded html bytes flow into
+the byte-identical ``parse → content_str`` path unchanged.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# mapInArrow output; warc_date stays a STRING here and becomes a proper
+# timestamp JVM-side (read_warc) — to_timestamp in the session's UTC zone,
+# not a per-worker Python datetime conversion
+RAW_SCHEMA = (
+    "src_file string, rec_offset bigint, url string, warc_date string, "
+    "html binary, error string"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def split_gzip_members(data: bytes) -> Iterator[Tuple[int, bytes]]:
+    """(member_start_offset, decompressed_bytes) per gzip member.
+
+    Common Crawl compresses each WARC record as its own gzip member and
+    concatenates them; stdlib ``gzip.decompress`` would splice all members
+    into one stream, losing record boundaries AND the member offsets the
+    CDX index keys on.  A zlib ``decompressobj`` per member keeps both.
+    Raises ``zlib.error`` mid-iteration on a corrupt member — the caller
+    owns the end-this-file policy.
+    """
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        chunk = d.decompress(data[pos:])
+        if not d.eof:
+            raise zlib.error(f"truncated gzip member at offset {pos}")
+        yield pos, chunk
+        pos = n - len(d.unused_data)
+
+
+def parse_warc_record(raw: bytes):
+    """One decompressed member → (warc_type, url, date, block) or raise.
+
+    WARC/1.0 layout: version line, header lines, CRLFCRLF, then exactly
+    ``Content-Length`` bytes of block (for ``response`` records the block
+    is an HTTP response), then CRLFCRLF trailer (ignored).
+    """
+    head_end = raw.find(_CRLF2)
+    if head_end < 0:
+        raise ValueError("no WARC header terminator")
+    lines = raw[:head_end].split(b"\r\n")
+    if not lines[0].startswith(b"WARC/"):
+        raise ValueError(f"bad version line {lines[0][:40]!r}")
+    hdr = {}
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(b":")
+        if sep:
+            hdr[k.strip().lower()] = v.strip()
+    try:
+        clen = int(hdr[b"content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("missing/invalid Content-Length")
+    block = raw[head_end + 4 : head_end + 4 + clen]
+    if len(block) < clen:
+        raise ValueError(f"short block: {len(block)} < {clen}")
+    return (
+        hdr.get(b"warc-type", b"").decode("ascii", "replace"),
+        hdr.get(b"warc-target-uri", b"").decode("utf-8", "replace"),
+        hdr.get(b"warc-date", b"").decode("ascii", "replace"),
+        block,
+    )
+
+
+def http_body(block: bytes) -> bytes:
+    """Payload of an HTTP response block (headers stripped); a block that
+    is not an HTTP message (WARC allows raw resources) passes through."""
+    if not block.startswith(b"HTTP/"):
+        return block
+    i = block.find(_CRLF2)
+    return block[i + 4 :] if i >= 0 else b""
+
+
+def _records_arrow_iterator(batch_rows: int):
+    """mapInArrow fn over binaryFile rows: (path, content) → RAW_SCHEMA.
+
+    Yields in ``batch_rows`` slices so one output batch, not one output
+    FILE, bounds worker memory (a 1 GiB WARC shard holds ~50-100k records;
+    their bodies must not accumulate into a single Arrow batch).
+    """
+    import pyarrow as pa
+
+    out_t = {
+        "src_file": pa.string(),
+        "rec_offset": pa.int64(),
+        "url": pa.string(),
+        "warc_date": pa.string(),
+        "html": pa.binary(),
+        "error": pa.string(),
+    }
+
+    def _flush(cols):
+        rb = pa.RecordBatch.from_arrays(
+            [pa.array(cols[k], out_t[k]) for k in out_t], list(out_t)
+        )
+        for k in out_t:
+            cols[k].clear()
+        return rb
+
+    def run(batches):
+        cols: dict = {k: [] for k in out_t}
+        for rb in batches:
+            paths = rb.column(rb.schema.get_field_index("path")).to_pylist()
+            contents = rb.column(
+                rb.schema.get_field_index("content")
+            ).to_pylist()
+            for path, data in zip(paths, contents):
+                members = split_gzip_members(bytes(data))
+                while True:
+                    try:
+                        off, raw = next(members)
+                    except StopIteration:
+                        break
+                    except zlib.error as e:
+                        # member boundaries are untrusted past a corrupt
+                        # stream: one error row, then end THIS file
+                        cols["src_file"].append(path)
+                        cols["rec_offset"].append(-1)
+                        cols["url"].append(None)
+                        cols["warc_date"].append(None)
+                        cols["html"].append(None)
+                        cols["error"].append(f"gzip: {e}")
+                        break
+                    try:
+                        wtype, url, date, block = parse_warc_record(raw)
+                    except ValueError as e:
+                        cols["src_file"].append(path)
+                        cols["rec_offset"].append(off)
+                        cols["url"].append(None)
+                        cols["warc_date"].append(None)
+                        cols["html"].append(None)
+                        cols["error"].append(f"warc: {e}")
+                        continue
+                    if wtype != "response":
+                        continue
+                    cols["src_file"].append(path)
+                    cols["rec_offset"].append(off)
+                    cols["url"].append(url)
+                    cols["warc_date"].append(date)
+                    cols["html"].append(http_body(block))
+                    cols["error"].append(None)
+                    if len(cols["src_file"]) >= batch_rows:
+                        yield _flush(cols)
+        if cols["src_file"]:
+            yield _flush(cols)
+
+    return run
+
+
+def read_warc(
+    spark: SparkSession, path: str, batch_rows: int = 2048
+) -> DataFrame:
+    """``.warc.gz`` file(s) → DataFrame
+    ``(src_file, rec_offset, url, warc_ts, html, error)``.
+
+    ``path`` accepts the usual Hadoop globs (``dir/*.warc.gz``).  Rows with
+    ``error IS NULL`` carry one ``response`` record each; ``(src_file,
+    rec_offset)`` is the CDX-replayable lineage key (module docstring).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInArrow(_records_arrow_iterator(batch_rows), RAW_SCHEMA)
+    )
+    # WARC-Date is ISO-8601 Zulu (14-digit second precision in CC crawls);
+    # parse JVM-side in the session's UTC zone
+    return raw.select(
+        "src_file",
+        "rec_offset",
+        "url",
+        F.to_timestamp(
+            F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"
+        ).alias("warc_ts"),
+        "html",
+        "error",
+    )
+
+
+def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Clean-record adapter to the ``input_hint`` pages shape
+    ``(url, warc_ts, html, text, lang)`` — ``text`` is the extraction
+    OUTPUT slot (empty at ingest) and ``lang`` is unknown until a
+    language-ID pass (functions/textops) fills it."""
+    return (
+        read_warc(spark, path)
+        .where(F.col("error").isNull())
+        .select(
+            "url",
+            "warc_ts",
+            "html",
+            F.lit("").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+
+
+# --- deterministic writer (tests / benches; no external data) ---------------
+
+
+def build_warc_record(
+    url: str, date_iso: str, html: bytes, warc_type: str = "response"
+) -> bytes:
+    """One uncompressed WARC record; ``response`` records wrap the payload
+    in a minimal HTTP/1.1 200 message like Common Crawl captures do."""
+    if warc_type == "response":
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(html)
+            + html
+        )
+        ctype = b"application/http; msgtype=response"
+    else:
+        block = html
+        ctype = b"application/warc-fields"
+    head = (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: %s\r\n" % warc_type.encode()
+        + b"WARC-Target-URI: %s\r\n" % url.encode()
+        + b"WARC-Date: %s\r\n" % date_iso.encode()
+        + b"Content-Type: %s\r\n" % ctype
+        + b"Content-Length: %d\r\n" % len(block)
+    )
+    # each header line above already ends in CRLF; ONE more blank line
+    # terminates the header (ISO 28500 §4), then the block, then the
+    # two-CRLF record trailer
+    return head + b"\r\n" + block + _CRLF2
+
+
+def write_warc_gz(
+    records: List[Tuple[str, str, bytes]],
+    path: str,
+    extra_members: Optional[List[bytes]] = None,
+) -> List[int]:
+    """Write ``(url, date_iso, html)`` records as a per-record-gzip-member
+    ``.warc.gz`` (the Common Crawl layout).  Deterministic: gzip mtime=0,
+    no filename field.  Returns each member's byte offset (what the CDX
+    index would publish).  ``extra_members`` appends pre-built raw records
+    (e.g. a warcinfo, or corrupt bytes for error-path tests), gzipped the
+    same way unless already gzip (magic ``1f 8b``).
+    """
+    import gzip
+    import io
+
+    offsets: List[int] = []
+    buf = io.BytesIO()
+    members = [
+        build_warc_record(u, d, h) for (u, d, h) in records
+    ] + list(extra_members or [])
+    for m in members:
+        offsets.append(buf.tell())
+        if m[:2] == b"\x1f\x8b":
+            buf.write(m)
+        else:
+            buf.write(gzip.compress(m, mtime=0))
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    return offsets

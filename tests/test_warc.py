@@ -1,0 +1,160 @@
+"""WARC ingest (sources/warc.py): deterministic writer → Spark reader
+round-trip, CDX-offset lineage, error policy, and byte-identical flow into
+the extract tier.
+
+Reference tie-in: dhtmlparser3 has no I/O beyond parse_file
+(dhtmlparser3/__init__.py:14-23); WARC is pipeline scope, but the html
+bytes it emits must reach the byte-identical parse → content_str path
+unchanged — the last test pins that end-to-end.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+import pytest
+
+from dhtmlparser3_spark.sources.warc import (
+    build_warc_record,
+    http_body,
+    parse_warc_record,
+    read_warc,
+    split_gzip_members,
+    warc_pages,
+    write_warc_gz,
+)
+
+DOCS = [
+    ("http://a.example/x", "2024-01-02T03:04:05Z", b"<html><p a=1>x &amp; y</p><br></html>"),
+    ("http://b.example/y", "2024-06-07T08:09:10Z", "<div>café &lt;3</div>".encode()),
+    ("http://c.example/z", "2024-12-31T23:59:59Z", b"<!-- c --><b>bold"),
+]
+
+
+# --- pure-python units -------------------------------------------------------
+
+
+def test_split_gzip_members_offsets_and_payloads():
+    payloads = [b"alpha", b"beta" * 100, b"\x00\xff binary"]
+    blob = b""
+    starts = []
+    for p in payloads:
+        starts.append(len(blob))
+        blob += gzip.compress(p, mtime=0)
+    got = list(split_gzip_members(blob))
+    assert [off for off, _ in got] == starts
+    assert [data for _, data in got] == payloads
+
+
+def test_split_gzip_members_truncated_raises():
+    blob = gzip.compress(b"ok", mtime=0) + gzip.compress(b"cut", mtime=0)[:-5]
+    it = split_gzip_members(blob)
+    assert next(it)[1] == b"ok"
+    with pytest.raises(zlib.error):
+        next(it)
+
+
+def test_parse_warc_record_roundtrip_and_errors():
+    rec = build_warc_record("http://u/", "2024-01-01T00:00:00Z", b"<p>hi</p>")
+    wtype, url, date, block = parse_warc_record(rec)
+    assert (wtype, url, date) == ("response", "http://u/", "2024-01-01T00:00:00Z")
+    assert http_body(block) == b"<p>hi</p>"
+    with pytest.raises(ValueError):
+        parse_warc_record(b"no terminator at all")
+    with pytest.raises(ValueError):
+        parse_warc_record(b"HTTP/1.1 200 OK\r\n\r\nbody")  # not a WARC version line
+    with pytest.raises(ValueError):
+        parse_warc_record(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nx")  # no length
+    with pytest.raises(ValueError):
+        parse_warc_record(
+            b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort"
+        )  # block shorter than declared
+
+
+def test_http_body_non_http_block_passthrough():
+    assert http_body(b"raw resource bytes") == b"raw resource bytes"
+    assert http_body(b"HTTP/1.1 200 OK\r\nno terminator") == b""
+
+
+# --- Spark round-trip --------------------------------------------------------
+
+
+def test_read_warc_roundtrip_offsets_and_bytes(spark, tmp_path):
+    path = str(tmp_path / "a.warc.gz")
+    # a warcinfo member FIRST, like real CC files lead with
+    info = build_warc_record("", "2024-01-01T00:00:00Z", b"robots: x", "warcinfo")
+    offsets = write_warc_gz(DOCS, path, extra_members=[gzip.compress(info, mtime=0)])
+    # writer returns one offset per member: 3 responses + 1 extra
+    assert len(offsets) == 4 and offsets[0] == 0
+
+    rows = read_warc(spark, path).orderBy("rec_offset").collect()
+    # warcinfo skipped (not data loss: every WARC consumer's contract)
+    assert len(rows) == len(DOCS)
+    for r, (url, date, html), off in zip(rows, DOCS, offsets):
+        assert r.error is None
+        assert r.url == url
+        assert bytes(r.html) == html  # byte-identical payload
+        assert r.rec_offset == off  # CDX-replayable lineage key
+        assert r.src_file.endswith("a.warc.gz")
+        # session is UTC-pinned; WARC-Date is Zulu
+        assert r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ") == date
+
+
+def test_read_warc_error_rows(spark, tmp_path):
+    path = str(tmp_path / "bad.warc.gz")
+    bad_rec = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nmissing length"
+    write_warc_gz(
+        DOCS[:1],
+        path,
+        extra_members=[
+            gzip.compress(bad_rec, mtime=0),  # parses as gzip, fails as WARC
+            gzip.compress(b"tail", mtime=0)[:-4],  # corrupt member: ends the file
+            gzip.compress(build_warc_record(*DOCS[1]), mtime=0),  # unreachable
+        ],
+    )
+    rows = read_warc(spark, path).orderBy("rec_offset").collect()
+    errs = [r for r in rows if r.error is not None]
+    ok = [r for r in rows if r.error is None]
+    # corrupt gzip ends THIS file's scan: the record after it is not read
+    assert [r.url for r in ok] == [DOCS[0][0]]
+    assert sorted(e.error.split(":")[0] for e in errs) == ["gzip", "warc"]
+    gz = next(e for e in errs if e.error.startswith("gzip"))
+    assert gz.rec_offset == -1 and gz.html is None
+
+
+def test_warc_pages_shape_and_glob(spark, tmp_path):
+    # two files + a glob: binaryFile gives one task per file at scale
+    write_warc_gz(DOCS[:2], str(tmp_path / "s1.warc.gz"))
+    write_warc_gz(DOCS[2:], str(tmp_path / "s2.warc.gz"))
+    pages = warc_pages(spark, str(tmp_path / "*.warc.gz"))
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    assert dict(pages.dtypes)["html"] == "binary"
+    got = {r.url: bytes(r.html) for r in pages.collect()}
+    assert got == {u: h for (u, _d, h) in DOCS}
+
+
+def test_warc_to_extract_byte_identical(spark, tmp_path, ref):
+    """End-to-end: .warc.gz → warc_pages → extract_pages is byte-identical
+    per url to the reference's parse → content_str on the same html."""
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+
+    path = str(tmp_path / "e2e.warc.gz")
+    write_warc_gz(DOCS, path)
+    out = extract_pages(
+        warc_pages(spark, path), parallelism=4, with_metrics=False
+    )
+    got = {
+        r.url: r.extracted_text
+        for r in out.select("url", "extracted_text").collect()
+    }
+    for url, _date, html in DOCS:
+        assert got[url] == ref.parse(html.decode()).content_str()
+
+
+def test_write_warc_gz_deterministic(tmp_path):
+    p1, p2 = str(tmp_path / "d1.warc.gz"), str(tmp_path / "d2.warc.gz")
+    assert write_warc_gz(DOCS, p1) == write_warc_gz(DOCS, p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
