@@ -31,8 +31,9 @@ Scale shape (100 TB = one Common Crawl monthly snapshot, ~72k files of
   is its own gzip member.  ``rec_offset`` emitted here is that offset
   (byte position of the member in the compressed file), so a lineage
   checkpoint of ``(src_file, rec_offset)`` is replayable against the
-  published index; a ranged reader over the CDX table is the documented
-  seam for sub-file resume, not reimplemented here.
+  published index; ``read_warc_at`` is that ranged reader — it fetches
+  exactly the checkpointed records via seek + single-member decompress,
+  never rescanning whole shards.
 
 Error policy (same as the extract tier — one poison record must never
 fail a task at 10^12-document scale): a record whose WARC headers do not
@@ -206,6 +207,21 @@ def _records_arrow_iterator(batch_rows: int):
     return run
 
 
+def _with_warc_ts(raw: DataFrame) -> DataFrame:
+    # WARC-Date is ISO-8601 Zulu (14-digit second precision in CC crawls);
+    # parse JVM-side in the session's UTC zone
+    return raw.select(
+        "src_file",
+        "rec_offset",
+        "url",
+        F.to_timestamp(
+            F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"
+        ).alias("warc_ts"),
+        "html",
+        "error",
+    )
+
+
 def read_warc(
     spark: SparkSession, path: str, batch_rows: int = 2048
 ) -> DataFrame:
@@ -222,18 +238,124 @@ def read_warc(
         .select("path", "content")
         .mapInArrow(_records_arrow_iterator(batch_rows), RAW_SCHEMA)
     )
-    # WARC-Date is ISO-8601 Zulu (14-digit second precision in CC crawls);
-    # parse JVM-side in the session's UTC zone
-    return raw.select(
-        "src_file",
-        "rec_offset",
-        "url",
-        F.to_timestamp(
-            F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"
-        ).alias("warc_ts"),
-        "html",
-        "error",
+    return _with_warc_ts(raw)
+
+
+def _ranged_arrow_iterator(batch_rows: int):
+    """mapInArrow fn over index rows (src_file, rec_offset) → RAW_SCHEMA.
+
+    One seek + one member decompress per index row; a file handle is kept
+    open across consecutive same-file rows (the caller repartitions and
+    sorts by file so each task's rows for a file are contiguous).  The
+    stream is decompressed in 1 MiB slices only until the member's gzip
+    eof — a record fetch never reads the rest of a 1 GiB shard.
+    """
+    import pyarrow as pa
+
+    out_t = {
+        "src_file": pa.string(),
+        "rec_offset": pa.int64(),
+        "url": pa.string(),
+        "warc_date": pa.string(),
+        "html": pa.binary(),
+        "error": pa.string(),
+    }
+
+    def _member_at(f, offset: int) -> bytes:
+        f.seek(offset)
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        while not d.eof:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                raise zlib.error(f"truncated gzip member at offset {offset}")
+            out.append(d.decompress(chunk))
+        return b"".join(out)
+
+    def run(batches):
+        cols: dict = {k: [] for k in out_t}
+        cur_path, cur_f = None, None
+
+        def emit(path, off, url, date, html, err):
+            cols["src_file"].append(path)
+            cols["rec_offset"].append(off)
+            cols["url"].append(url)
+            cols["warc_date"].append(date)
+            cols["html"].append(html)
+            cols["error"].append(err)
+
+        try:
+            for rb in batches:
+                paths = rb.column(
+                    rb.schema.get_field_index("src_file")
+                ).to_pylist()
+                offs = rb.column(
+                    rb.schema.get_field_index("rec_offset")
+                ).to_pylist()
+                for path, off in zip(paths, offs):
+                    # binaryFile emits file: URIs; open() wants a plain path.
+                    # (On a cluster this open() is the posix/NFS seam — an
+                    # object store would swap in pyarrow.fs.open_input_file,
+                    # same seek+slice contract.)
+                    local = path[7:] if path.startswith("file://") else (
+                        path[5:] if path.startswith("file:") else path
+                    )
+                    try:
+                        if local != cur_path:
+                            if cur_f is not None:
+                                cur_f.close()
+                            cur_f = open(local, "rb")
+                            cur_path = local
+                        raw = _member_at(cur_f, off)
+                        wtype, url, date, block = parse_warc_record(raw)
+                    except (OSError, zlib.error, ValueError) as e:
+                        emit(path, off, None, None, None, f"fetch: {e}")
+                        continue
+                    if wtype != "response":
+                        emit(path, off, None, None, None,
+                             f"fetch: not a response record ({wtype})")
+                        continue
+                    emit(path, off, url, date, http_body(block), None)
+                    if len(cols["src_file"]) >= batch_rows:
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(cols[k], out_t[k]) for k in out_t],
+                            list(out_t),
+                        )
+                        cols = {k: [] for k in out_t}
+        finally:
+            if cur_f is not None:
+                cur_f.close()
+        if cols["src_file"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[k], out_t[k]) for k in out_t], list(out_t)
+            )
+
+    return run
+
+
+def read_warc_at(index: DataFrame, batch_rows: int = 2048) -> DataFrame:
+    """Fetch EXACTLY the records named by an index/lineage DataFrame
+    ``(src_file, rec_offset)`` — the CDX random-access path (module
+    docstring): sub-file resume replays a checkpoint's undone
+    ``(src_file, rec_offset)`` rows without rescanning whole shards.
+
+    Output schema == ``read_warc``.  Shape at scale: the index (tiny —
+    offsets, not content) shuffles once on ``src_file`` so each task
+    opens a shard at most once and seeks its offsets in ascending order;
+    the shard bytes themselves never shuffle.  A missing file, bad
+    offset, corrupt member, or non-``response`` record yields an error
+    ROW keyed by the index entry, never a task failure.
+    """
+    idx = index.select(
+        F.col("src_file").cast("string"),
+        F.col("rec_offset").cast("bigint"),
     )
+    raw = (
+        idx.repartition("src_file")
+        .sortWithinPartitions("src_file", "rec_offset")
+        .mapInArrow(_ranged_arrow_iterator(batch_rows), RAW_SCHEMA)
+    )
+    return _with_warc_ts(raw)
 
 
 def warc_pages(spark: SparkSession, path: str) -> DataFrame:

@@ -158,3 +158,69 @@ def test_write_warc_gz_deterministic(tmp_path):
     p1, p2 = str(tmp_path / "d1.warc.gz"), str(tmp_path / "d2.warc.gz")
     assert write_warc_gz(DOCS, p1) == write_warc_gz(DOCS, p2)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+# --- CDX random access (read_warc_at) ----------------------------------------
+
+
+def test_read_warc_at_fetches_exact_records(spark, tmp_path):
+    from dhtmlparser3_spark.sources.warc import read_warc_at
+
+    p1, p2 = str(tmp_path / "r1.warc.gz"), str(tmp_path / "r2.warc.gz")
+    off1 = write_warc_gz(DOCS[:2], p1)
+    off2 = write_warc_gz(DOCS[2:], p2)
+    # lineage-style index: a SUBSET across two files, deliberately unsorted
+    idx = spark.createDataFrame(
+        [(p2, off2[0]), (p1, off1[1])], "src_file string, rec_offset bigint"
+    )
+    rows = {r.url: r for r in read_warc_at(idx).collect()}
+    want = {DOCS[2][0]: DOCS[2], DOCS[1][0]: DOCS[1]}
+    assert set(rows) == set(want)
+    for url, (u, date, html) in want.items():
+        r = rows[url]
+        assert r.error is None
+        assert bytes(r.html) == html
+        assert r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ") == date
+
+
+def test_read_warc_at_matches_full_scan(spark, tmp_path):
+    """Resume contract: replaying the full (src_file, rec_offset) lineage
+    through random access reproduces the sequential scan byte-for-byte."""
+    from dhtmlparser3_spark.sources.warc import read_warc_at
+
+    path = str(tmp_path / "all.warc.gz")
+    write_warc_gz(DOCS, path)
+    full = read_warc(spark, path)
+    idx = full.select("src_file", "rec_offset")
+    refetched = read_warc_at(idx).orderBy("rec_offset").collect()
+    scanned = full.orderBy("rec_offset").collect()
+    assert [(r.url, bytes(r.html), r.warc_ts) for r in refetched] == [
+        (r.url, bytes(r.html), r.warc_ts) for r in scanned
+    ]
+
+
+def test_read_warc_at_error_rows(spark, tmp_path):
+    from dhtmlparser3_spark.sources.warc import read_warc_at
+
+    path = str(tmp_path / "err.warc.gz")
+    info = build_warc_record("", "2024-01-01T00:00:00Z", b"x", "warcinfo")
+    offs = write_warc_gz(DOCS[:1], path, extra_members=[
+        gzip.compress(info, mtime=0)])
+    idx = spark.createDataFrame(
+        [
+            (path, offs[0]),            # good
+            (path, offs[1]),            # warcinfo: not a response
+            (path, 7),                  # mid-member garbage offset
+            (str(tmp_path / "gone.warc.gz"), 0),  # missing file
+        ],
+        "src_file string, rec_offset bigint",
+    )
+    rows = read_warc_at(idx).collect()
+    assert len(rows) == 4
+    by_key = {(r.src_file, r.rec_offset): r for r in rows}
+    assert by_key[(path, offs[0])].error is None
+    assert "not a response" in by_key[(path, offs[1])].error
+    assert by_key[(path, 7)].error.startswith("fetch:")
+    assert by_key[(str(tmp_path / "gone.warc.gz"), 0)].error.startswith(
+        "fetch:"
+    )
