@@ -224,3 +224,37 @@ def test_read_warc_at_error_rows(spark, tmp_path):
     assert by_key[(str(tmp_path / "gone.warc.gz"), 0)].error.startswith(
         "fetch:"
     )
+
+
+def test_warc_lineage_resume_composition(spark, tmp_path):
+    """North-star composition: WARC ingest feeds the checkpointed extract
+    job; a simulated mid-job kill resumes idempotently and verify_run
+    confirms every bucket's digest."""
+    from dhtmlparser3_spark.pipeline.lineage import run_extract_job, verify_run
+
+    warc = str(tmp_path / "in.warc.gz")
+    # enough urls to populate several of the 8 buckets
+    docs = [
+        (f"http://h{i}.example/p", "2024-03-04T05:06:07Z",
+         f"<div id=d{i}>doc {i} &amp; more</div>".encode())
+        for i in range(40)
+    ]
+    write_warc_gz(docs, warc)
+    pages = warc_pages(spark, warc)
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_extract_job(
+            spark, pages, out, lin, n_buckets=8,
+            input_path=warc, fail_after_buckets=3,
+        )
+    res = run_extract_job(spark, pages, out, lin, n_buckets=8, input_path=warc)
+    assert res["skipped"] == 3 and res["processed"] == 5
+
+    # verify_run returns ONLY buckets whose re-read count/digest mismatch
+    assert verify_run(spark, out, lin).collect() == []
+    got = spark.read.parquet(out)
+    assert got.count() == len(docs)
+    # lineage rows carry the WARC file as input_path — CDX-replayable
+    lrows = spark.read.parquet(lin).select("input_path").distinct().collect()
+    assert [r.input_path for r in lrows] == [warc]
