@@ -131,13 +131,79 @@ def http_body(block: bytes) -> bytes:
     return block[i + 4 :] if i >= 0 else b""
 
 
-def _records_arrow_iterator(batch_rows: int):
-    """mapInArrow fn over binaryFile rows: (path, content) → RAW_SCHEMA.
+def stream_gzip_members(
+    f, chunk_bytes: int = 1 << 20
+) -> Iterator[Tuple[int, bytes]]:
+    """``split_gzip_members`` over a FILE OBJECT: holds only the current
+    member's decompressed bytes + one ``chunk_bytes`` read buffer, never
+    the whole compressed shard.  Same offsets, same payloads, same
+    mid-iteration ``zlib.error`` on a truncated member."""
+    pos = 0  # absolute compressed offset of the current member's start
+    buf = b""  # compressed bytes read past the previous member's end
+    while True:
+        if not buf:
+            buf = f.read(chunk_bytes)
+            if not buf:
+                return
+        d = zlib.decompressobj(wbits=31)
+        out = [d.decompress(buf)]
+        fed = len(buf)
+        while not d.eof:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                raise zlib.error(f"truncated gzip member at offset {pos}")
+            out.append(d.decompress(chunk))
+            fed += len(chunk)
+        consumed = fed - len(d.unused_data)
+        yield pos, b"".join(out)
+        pos += consumed
+        buf = d.unused_data
 
-    Yields in ``batch_rows`` slices so one output batch, not one output
-    FILE, bounds worker memory (a 1 GiB WARC shard holds ~50-100k records;
-    their bodies must not accumulate into a single Arrow batch).
-    """
+
+def _local_path(path: str) -> str:
+    """binaryFile / input listings emit ``file:`` URIs; open() wants a
+    plain path.  (On a cluster this open() is the posix/NFS seam — an
+    object store would swap in pyarrow.fs.open_input_file, same
+    stream/seek contract.)"""
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
+def _iter_record_rows(path: str, members: Iterator[Tuple[int, bytes]]):
+    """Member iterator → RAW_SCHEMA row tuples.  Shared by the whole-file
+    and streaming readers so the error policy (module docstring) cannot
+    diverge between them: malformed record → error row; corrupt gzip
+    member → one error row, then end THIS file (boundaries past a corrupt
+    stream are untrusted); non-``response`` records skip."""
+    while True:
+        try:
+            off, raw = next(members)
+        except StopIteration:
+            return
+        except (zlib.error, OSError) as e:
+            yield (path, -1, None, None, None, f"gzip: {e}")
+            return
+        try:
+            wtype, url, date, block = parse_warc_record(raw)
+        except ValueError as e:
+            yield (path, off, None, None, None, f"warc: {e}")
+            continue
+        if wtype != "response":
+            continue
+        yield (path, off, url, date, http_body(block), None)
+
+
+_OUT_FIELDS = ("src_file", "rec_offset", "url", "warc_date", "html", "error")
+
+
+def _batched_record_batches(row_iters, batch_rows: int):
+    """Row-tuple iterators → Arrow RecordBatches of ≤ ``batch_rows`` rows
+    so one output batch, not one output FILE, bounds worker memory (a
+    1 GiB WARC shard holds ~50-100k records; their bodies must not
+    accumulate into a single Arrow batch)."""
     import pyarrow as pa
 
     out_t = {
@@ -149,60 +215,73 @@ def _records_arrow_iterator(batch_rows: int):
         "error": pa.string(),
     }
 
-    def _flush(cols):
+    rows: list = []
+
+    def _flush():
         rb = pa.RecordBatch.from_arrays(
-            [pa.array(cols[k], out_t[k]) for k in out_t], list(out_t)
+            [
+                pa.array([r[i] for r in rows], out_t[k])
+                for i, k in enumerate(_OUT_FIELDS)
+            ],
+            list(_OUT_FIELDS),
         )
-        for k in out_t:
-            cols[k].clear()
+        rows.clear()
         return rb
 
+    for it in row_iters:
+        for row in it:
+            rows.append(row)
+            if len(rows) >= batch_rows:
+                yield _flush()
+    if rows:
+        yield _flush()
+
+
+def _records_arrow_iterator(batch_rows: int):
+    """mapInArrow fn over binaryFile rows: (path, content) → RAW_SCHEMA."""
+
     def run(batches):
-        cols: dict = {k: [] for k in out_t}
-        for rb in batches:
-            paths = rb.column(rb.schema.get_field_index("path")).to_pylist()
-            contents = rb.column(
-                rb.schema.get_field_index("content")
-            ).to_pylist()
-            for path, data in zip(paths, contents):
-                members = split_gzip_members(bytes(data))
-                while True:
+        def row_iters():
+            for rb in batches:
+                paths = rb.column(
+                    rb.schema.get_field_index("path")
+                ).to_pylist()
+                contents = rb.column(
+                    rb.schema.get_field_index("content")
+                ).to_pylist()
+                for path, data in zip(paths, contents):
+                    yield _iter_record_rows(
+                        path, split_gzip_members(bytes(data))
+                    )
+
+        yield from _batched_record_batches(row_iters(), batch_rows)
+
+    return run
+
+
+def _stream_arrow_iterator(batch_rows: int):
+    """mapInArrow fn over path-only rows: (path) → RAW_SCHEMA, opening
+    each file in the worker and decompressing incrementally — worker
+    memory is O(batch), independent of shard size (the whole-file reader
+    unavoidably holds the compressed shard binaryFile hands it)."""
+
+    def run(batches):
+        def row_iters():
+            for rb in batches:
+                for path in rb.column(
+                    rb.schema.get_field_index("path")
+                ).to_pylist():
                     try:
-                        off, raw = next(members)
-                    except StopIteration:
-                        break
-                    except zlib.error as e:
-                        # member boundaries are untrusted past a corrupt
-                        # stream: one error row, then end THIS file
-                        cols["src_file"].append(path)
-                        cols["rec_offset"].append(-1)
-                        cols["url"].append(None)
-                        cols["warc_date"].append(None)
-                        cols["html"].append(None)
-                        cols["error"].append(f"gzip: {e}")
-                        break
-                    try:
-                        wtype, url, date, block = parse_warc_record(raw)
-                    except ValueError as e:
-                        cols["src_file"].append(path)
-                        cols["rec_offset"].append(off)
-                        cols["url"].append(None)
-                        cols["warc_date"].append(None)
-                        cols["html"].append(None)
-                        cols["error"].append(f"warc: {e}")
+                        f = open(_local_path(path), "rb")
+                    except OSError as e:
+                        yield iter(
+                            [(path, -1, None, None, None, f"gzip: {e}")]
+                        )
                         continue
-                    if wtype != "response":
-                        continue
-                    cols["src_file"].append(path)
-                    cols["rec_offset"].append(off)
-                    cols["url"].append(url)
-                    cols["warc_date"].append(date)
-                    cols["html"].append(http_body(block))
-                    cols["error"].append(None)
-                    if len(cols["src_file"]) >= batch_rows:
-                        yield _flush(cols)
-        if cols["src_file"]:
-            yield _flush(cols)
+                    with f:
+                        yield _iter_record_rows(path, stream_gzip_members(f))
+
+        yield from _batched_record_batches(row_iters(), batch_rows)
 
     return run
 
@@ -223,7 +302,10 @@ def _with_warc_ts(raw: DataFrame) -> DataFrame:
 
 
 def read_warc(
-    spark: SparkSession, path: str, batch_rows: int = 2048
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 2048,
+    io: str = "content",
 ) -> DataFrame:
     """``.warc.gz`` file(s) → DataFrame
     ``(src_file, rec_offset, url, warc_ts, html, error)``.
@@ -231,13 +313,30 @@ def read_warc(
     ``path`` accepts the usual Hadoop globs (``dir/*.warc.gz``).  Rows with
     ``error IS NULL`` carry one ``response`` record each; ``(src_file,
     rec_offset)`` is the CDX-replayable lineage key (module docstring).
+
+    ``io`` picks how shard bytes reach the worker (same rows either way —
+    pinned by test_warc):
+
+    * ``"content"`` (default): binaryFile hands whole files through the
+      JVM — FS-portable (any Hadoop scheme), but the compressed shard
+      (~1 GiB) sits in worker memory while its records stream out.
+    * ``"stream"``: workers receive only PATHS (the binaryFile scan is
+      pruned to the listing) and decompress incrementally via open() —
+      worker memory is O(batch) regardless of shard size.  Local/posix
+      paths only in this sandbox (the object-store swap-in is
+      pyarrow.fs, see ``_local_path``); the right mode at 100 TB where
+      executors mount the store.
     """
-    raw = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", "content")
-        .mapInArrow(_records_arrow_iterator(batch_rows), RAW_SCHEMA)
-    )
+    assert io in ("content", "stream"), io
+    files = spark.read.format("binaryFile").load(path)
+    if io == "stream":
+        raw = files.select("path").mapInArrow(
+            _stream_arrow_iterator(batch_rows), RAW_SCHEMA
+        )
+    else:
+        raw = files.select("path", "content").mapInArrow(
+            _records_arrow_iterator(batch_rows), RAW_SCHEMA
+        )
     return _with_warc_ts(raw)
 
 
@@ -293,13 +392,7 @@ def _ranged_arrow_iterator(batch_rows: int):
                     rb.schema.get_field_index("rec_offset")
                 ).to_pylist()
                 for path, off in zip(paths, offs):
-                    # binaryFile emits file: URIs; open() wants a plain path.
-                    # (On a cluster this open() is the posix/NFS seam — an
-                    # object store would swap in pyarrow.fs.open_input_file,
-                    # same seek+slice contract.)
-                    local = path[7:] if path.startswith("file://") else (
-                        path[5:] if path.startswith("file:") else path
-                    )
+                    local = _local_path(path)
                     try:
                         if local != cur_path:
                             if cur_f is not None:

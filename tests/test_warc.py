@@ -258,3 +258,77 @@ def test_warc_lineage_resume_composition(spark, tmp_path):
     # lineage rows carry the WARC file as input_path — CDX-replayable
     lrows = spark.read.parquet(lin).select("input_path").distinct().collect()
     assert [r.input_path for r in lrows] == [warc]
+
+
+# --- streaming io mode (read_warc io="stream") --------------------------------
+
+
+def test_stream_gzip_members_matches_split(tmp_path):
+    """Incremental decompress == whole-buffer split: same offsets, same
+    payloads, exercised with a tiny read chunk so members span many reads
+    and member boundaries land mid-buffer."""
+    import io
+
+    from dhtmlparser3_spark.sources.warc import stream_gzip_members
+
+    payloads = [b"a" * 5000, b"b", b"", b"mixed \x00\xff" * 300]
+    blob = b"".join(gzip.compress(p, mtime=0) for p in payloads)
+    want = list(split_gzip_members(blob))
+    got = list(stream_gzip_members(io.BytesIO(blob), chunk_bytes=7))
+    assert got == want
+
+
+def test_stream_gzip_members_truncated_raises(tmp_path):
+    import io
+
+    from dhtmlparser3_spark.sources.warc import stream_gzip_members
+
+    blob = gzip.compress(b"ok", mtime=0) + gzip.compress(b"cut", mtime=0)[:-3]
+    it = stream_gzip_members(io.BytesIO(blob), chunk_bytes=5)
+    assert next(it)[1] == b"ok"
+    with pytest.raises(zlib.error):
+        list(it)
+
+
+def test_read_warc_stream_parity(spark, tmp_path):
+    """io='stream' and io='content' produce identical rows — clean files
+    AND the error-policy file (corrupt member ends the file's scan in
+    both modes, via the shared record loop)."""
+    clean = str(tmp_path / "c.warc.gz")
+    write_warc_gz(DOCS, clean)
+    bad = str(tmp_path / "b.warc.gz")
+    write_warc_gz(
+        DOCS[:1],
+        bad,
+        extra_members=[
+            gzip.compress(
+                b"WARC/1.0\r\nWARC-Type: response\r\n\r\nx", mtime=0
+            ),
+            gzip.compress(b"tail", mtime=0)[:-4],
+        ],
+    )
+
+    def rows(io_mode):
+        df = read_warc(spark, str(tmp_path / "*.warc.gz"), io=io_mode)
+        return sorted(
+            (
+                r.src_file,
+                r.rec_offset,
+                r.url,
+                r.warc_ts,
+                bytes(r.html) if r.html is not None else None,
+                r.error,
+            )
+            for r in df.collect()
+        )
+
+    assert rows("stream") == rows("content")
+    # and the stream plan reads NO content column: the physical binaryFile
+    # scan is pruned to the path listing
+    plan = (
+        read_warc(spark, clean, io="stream")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan binaryFile [path#" in plan
