@@ -451,13 +451,16 @@ def read_warc_at(index: DataFrame, batch_rows: int = 2048) -> DataFrame:
     return _with_warc_ts(raw)
 
 
-def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def warc_pages(
+    spark: SparkSession, path: str, io: str = "content"
+) -> DataFrame:
     """Clean-record adapter to the ``input_hint`` pages shape
     ``(url, warc_ts, html, text, lang)`` — ``text`` is the extraction
     OUTPUT slot (empty at ingest) and ``lang`` is unknown until a
-    language-ID pass (functions/textops) fills it."""
+    language-ID pass (functions/textops) fills it.  ``io`` as in
+    ``read_warc``."""
     return (
-        read_warc(spark, path)
+        read_warc(spark, path, io=io)
         .where(F.col("error").isNull())
         .select(
             "url",

@@ -134,6 +134,9 @@ def test_warc_pages_shape_and_glob(spark, tmp_path):
     assert dict(pages.dtypes)["html"] == "binary"
     got = {r.url: bytes(r.html) for r in pages.collect()}
     assert got == {u: h for (u, _d, h) in DOCS}
+    # io passthrough: stream mode yields the same pages
+    streamed = warc_pages(spark, str(tmp_path / "*.warc.gz"), io="stream")
+    assert {r.url: bytes(r.html) for r in streamed.collect()} == got
 
 
 def test_warc_to_extract_byte_identical(spark, tmp_path, ref):
