@@ -44,6 +44,19 @@ pipeline would skip past it) with one error row saying so.  Non-``response``
 records (warcinfo, request, metadata) are skipped: that is every WARC
 consumer's contract, not data loss.
 
+HTTP payload decoding: real Common Crawl ``response`` blocks frequently
+carry ``Transfer-Encoding: chunked`` and/or ``Content-Encoding:
+gzip/deflate`` — the capture preserves the wire bytes, so the ingest edge
+must dechunk and decompress or the html column silently carries chunk-size
+framing / still-compressed bytes into ``parse()``.  ``http_body`` removes
+transfer codings (chunked; gzip/deflate transfer codings too), then the
+content coding (gzip, x-gzip, deflate — both zlib-wrapped and the raw
+variant some servers send — and identity).  An encoding this module cannot
+decode (``br``/``zstd``/unknown — no codec in this environment) or
+malformed framing yields an error ROW (``html`` NULL, ``error`` =
+``http: ...``) keyed by the record's url/offset, never a silent
+pass-through and never a task failure.
+
 Reference tie-in: dhtmlparser3 has no I/O beyond ``parse_file``
 (dhtmlparser3/__init__.py:14-23 — whole-file read, encoding arg ignored);
 WARC ingest is pipeline scope on top, and the decoded html bytes flow into
@@ -78,15 +91,17 @@ def split_gzip_members(data: bytes) -> Iterator[Tuple[int, bytes]]:
     CDX index keys on.  A zlib ``decompressobj`` per member keeps both.
     Raises ``zlib.error`` mid-iteration on a corrupt member — the caller
     owns the end-this-file policy.
+
+    Implemented as ``stream_gzip_members`` over a BytesIO view: feeding the
+    decompressor whole ``data[pos:]`` tails would memcpy O(members ×
+    remaining) — tens of TB of copying on a ~1 GiB shard with ~100k
+    members — where the bounded-chunk feed loop copies O(chunk) per member.
+    Same offsets, same payloads, same mid-iteration error (pinned by
+    test_stream_gzip_members_matches_split).
     """
-    pos, n = 0, len(data)
-    while pos < n:
-        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        chunk = d.decompress(data[pos:])
-        if not d.eof:
-            raise zlib.error(f"truncated gzip member at offset {pos}")
-        yield pos, chunk
-        pos = n - len(d.unused_data)
+    import io
+
+    yield from stream_gzip_members(io.BytesIO(data))
 
 
 def parse_warc_record(raw: bytes):
@@ -122,13 +137,123 @@ def parse_warc_record(raw: bytes):
     )
 
 
+def _http_headers(head: bytes) -> dict:
+    """Header section (no status line) → {lower-name: value} bytes dict.
+    Duplicate names keep the LAST value — enough for the coding headers
+    this module consumes (a compliant server sends each at most once)."""
+    hdr = {}
+    for ln in head.split(b"\r\n"):
+        k, sep, v = ln.partition(b":")
+        if sep:
+            hdr[k.strip().lower()] = v.strip()
+    return hdr
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Remove ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    ``hex-size[;ext]CRLF data CRLF`` repeated, ``0``-size chunk last,
+    optional trailer ignored.  Lenient on bare-LF line endings (captures
+    of sloppy servers); anything else malformed raises ValueError."""
+    out = []
+    pos, n = 0, len(body)
+    while True:
+        eol = body.find(b"\n", pos)
+        if eol < 0:
+            raise ValueError("chunked: missing chunk-size line")
+        line = body[pos:eol].rstrip(b"\r")
+        size_s = line.split(b";", 1)[0].strip()  # drop chunk extensions
+        try:
+            size = int(size_s, 16)
+        except ValueError:
+            raise ValueError(f"chunked: bad chunk size {size_s[:20]!r}")
+        pos = eol + 1
+        if size == 0:
+            return b"".join(out)  # trailer section (if any) ignored
+        if pos + size > n:
+            raise ValueError(f"chunked: truncated chunk of {size} bytes")
+        out.append(body[pos : pos + size])
+        pos += size
+        # chunk data must be followed by CRLF (LF tolerated)
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+        else:
+            raise ValueError("chunked: missing CRLF after chunk data")
+
+
+def _gunzip_payload(data: bytes) -> bytes:
+    """gzip-decode an HTTP payload; tolerates multi-member streams (rare
+    but valid).  zlib.error → ValueError for the caller's error row."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data))
+        except zlib.error as e:
+            raise ValueError(f"gzip payload: {e}")
+        if not d.eof:
+            raise ValueError("gzip payload: truncated")
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _inflate_payload(data: bytes) -> bytes:
+    """``deflate``-decode: RFC says zlib-wrapped, many servers send raw
+    deflate — try the wrapper first, fall back to raw (the standard
+    browser behavior)."""
+    for wbits in (15, -15):
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(data) + d.flush()
+        except zlib.error:
+            continue
+        if d.eof:
+            return out
+    raise ValueError("deflate payload: undecodable or truncated")
+
+
+def _decode_coding(body: bytes, coding: bytes) -> bytes:
+    if coding in (b"gzip", b"x-gzip"):
+        return _gunzip_payload(body)
+    if coding == b"deflate":
+        return _inflate_payload(body)
+    if coding in (b"identity", b""):
+        return body
+    # br / zstd / unknown: no codec in this environment — error row, never
+    # a silent pass-through of compressed bytes into parse()
+    raise ValueError(
+        f"unsupported coding {coding.decode('ascii', 'replace')!r}"
+    )
+
+
 def http_body(block: bytes) -> bytes:
-    """Payload of an HTTP response block (headers stripped); a block that
-    is not an HTTP message (WARC allows raw resources) passes through."""
+    """Decoded payload of an HTTP response block: headers stripped,
+    transfer codings removed (``chunked`` + compress codings, applied in
+    reverse of the listed order per RFC 9112), then the content coding
+    (module docstring).  A block that is not an HTTP message passes
+    through (WARC allows raw ``resource`` captures).  Raises ValueError on
+    malformed framing or a coding this module cannot decode — the record
+    loop turns that into an ``http:``-prefixed error row."""
     if not block.startswith(b"HTTP/"):
         return block
     i = block.find(_CRLF2)
-    return block[i + 4 :] if i >= 0 else b""
+    if i < 0:
+        return b""
+    status_and_headers = block[:i]
+    nl = status_and_headers.find(b"\r\n")
+    hdr = _http_headers(status_and_headers[nl + 2 :] if nl >= 0 else b"")
+    body = block[i + 4 :]
+    te = [t.strip().lower() for t in hdr.get(b"transfer-encoding", b"").split(b",") if t.strip()]
+    for coding in reversed(te):
+        if coding == b"chunked":
+            body = _dechunk(body)
+        else:
+            body = _decode_coding(body, coding)
+    ce = [c.strip().lower() for c in hdr.get(b"content-encoding", b"").split(b",") if c.strip()]
+    for coding in reversed(ce):
+        body = _decode_coding(body, coding)
+    return body
 
 
 def stream_gzip_members(
@@ -193,7 +318,14 @@ def _iter_record_rows(path: str, members: Iterator[Tuple[int, bytes]]):
             continue
         if wtype != "response":
             continue
-        yield (path, off, url, date, http_body(block), None)
+        try:
+            body = http_body(block)
+        except ValueError as e:
+            # WARC headers parsed fine: keep url/date so the error row is
+            # lineage-addressable (re-fetchable via read_warc_at)
+            yield (path, off, url, date, None, f"http: {e}")
+            continue
+        yield (path, off, url, date, body, None)
 
 
 _OUT_FIELDS = ("src_file", "rec_offset", "url", "warc_date", "html", "error")
@@ -287,14 +419,25 @@ def _stream_arrow_iterator(batch_rows: int):
 
 
 def _with_warc_ts(raw: DataFrame) -> DataFrame:
-    # WARC-Date is ISO-8601 Zulu (14-digit second precision in CC crawls);
-    # parse JVM-side in the session's UTC zone
+    # WARC-Date is ISO-8601 Zulu — second precision in CC crawls, but
+    # WARC/1.1 allows fractional seconds (milli/micro covered below; nano
+    # would need one more pattern).  try_to_timestamp: a malformed date
+    # must yield NULL warc_ts, never an ANSI cast failure killing the task.
+    # Parsed JVM-side in the session's UTC zone.
     return raw.select(
         "src_file",
         "rec_offset",
         "url",
-        F.to_timestamp(
-            F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"
+        F.coalesce(
+            F.try_to_timestamp(
+                F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+            ),
+            F.try_to_timestamp(
+                F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSX")
+            ),
+            F.try_to_timestamp(
+                F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")
+            ),
         ).alias("warc_ts"),
         "html",
         "error",
@@ -408,7 +551,12 @@ def _ranged_arrow_iterator(batch_rows: int):
                         emit(path, off, None, None, None,
                              f"fetch: not a response record ({wtype})")
                         continue
-                    emit(path, off, url, date, http_body(block), None)
+                    try:
+                        body = http_body(block)
+                    except ValueError as e:
+                        emit(path, off, url, date, None, f"http: {e}")
+                        continue
+                    emit(path, off, url, date, body, None)
                     if len(cols["src_file"]) >= batch_rows:
                         yield pa.RecordBatch.from_arrays(
                             [pa.array(cols[k], out_t[k]) for k in out_t],
@@ -475,16 +623,68 @@ def warc_pages(
 # --- deterministic writer (tests / benches; no external data) ---------------
 
 
+def _chunked_body(payload: bytes, chunk_size: int) -> bytes:
+    """``payload`` in RFC 9112 chunked framing (fixed ``chunk_size`` so the
+    framing is deterministic and chunk boundaries land mid-payload)."""
+    out = []
+    for i in range(0, len(payload), chunk_size):
+        chunk = payload[i : i + chunk_size]
+        out.append(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
 def build_warc_record(
-    url: str, date_iso: str, html: bytes, warc_type: str = "response"
+    url: str,
+    date_iso: str,
+    html: bytes,
+    warc_type: str = "response",
+    content_encoding: Optional[str] = None,
+    transfer_encoding: Optional[str] = None,
+    chunk_size: int = 16,
 ) -> bytes:
     """One uncompressed WARC record; ``response`` records wrap the payload
-    in a minimal HTTP/1.1 200 message like Common Crawl captures do."""
+    in a minimal HTTP/1.1 200 message like Common Crawl captures do.
+
+    ``content_encoding`` compresses the payload on the wire the way a real
+    server would: ``"gzip"``, ``"deflate"`` (zlib-wrapped, the RFC form),
+    ``"deflate-raw"`` (raw-deflate bytes under a ``deflate`` header — the
+    common server bug the reader's fallback covers), or ``"br"`` (header
+    only, payload verbatim — an encoding the reader must surface as an
+    error row, since no brotli codec exists here).  ``transfer_encoding=
+    "chunked"`` then applies chunked framing on top (codings nest in that
+    order on a real wire: content coding first, transfer coding last)."""
     if warc_type == "response":
+        wire = html
+        http_hdrs = [b"Content-Type: text/html"]
+        if content_encoding == "gzip":
+            import gzip as _gz
+
+            wire = _gz.compress(wire, mtime=0)
+            http_hdrs.append(b"Content-Encoding: gzip")
+        elif content_encoding == "deflate":
+            wire = zlib.compress(wire)
+            http_hdrs.append(b"Content-Encoding: deflate")
+        elif content_encoding == "deflate-raw":
+            c = zlib.compressobj(wbits=-15)
+            wire = c.compress(wire) + c.flush()
+            http_hdrs.append(b"Content-Encoding: deflate")
+        elif content_encoding == "br":
+            http_hdrs.append(b"Content-Encoding: br")
+        elif content_encoding is not None:
+            raise ValueError(content_encoding)
+        if transfer_encoding == "chunked":
+            wire = _chunked_body(wire, chunk_size)
+            http_hdrs.append(b"Transfer-Encoding: chunked")
+        elif transfer_encoding is not None:
+            raise ValueError(transfer_encoding)
+        else:
+            http_hdrs.append(b"Content-Length: %d" % len(wire))
         block = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            + b"Content-Length: %d\r\n\r\n" % len(html)
-            + html
+            b"HTTP/1.1 200 OK\r\n"
+            + b"\r\n".join(http_hdrs)
+            + b"\r\n\r\n"
+            + wire
         )
         ctype = b"application/http; msgtype=response"
     else:
@@ -505,16 +705,19 @@ def build_warc_record(
 
 
 def write_warc_gz(
-    records: List[Tuple[str, str, bytes]],
+    records: List[Tuple],
     path: str,
     extra_members: Optional[List[bytes]] = None,
 ) -> List[int]:
-    """Write ``(url, date_iso, html)`` records as a per-record-gzip-member
-    ``.warc.gz`` (the Common Crawl layout).  Deterministic: gzip mtime=0,
-    no filename field.  Returns each member's byte offset (what the CDX
-    index would publish).  ``extra_members`` appends pre-built raw records
-    (e.g. a warcinfo, or corrupt bytes for error-path tests), gzipped the
-    same way unless already gzip (magic ``1f 8b``).
+    """Write ``(url, date_iso, html[, content_encoding[, transfer_encoding
+    ]])`` records as a per-record-gzip-member ``.warc.gz`` (the Common
+    Crawl layout).  The optional 4th/5th elements put the payload on the
+    wire encoded (see ``build_warc_record``) — the READER output is the
+    same decoded html either way.  Deterministic: gzip mtime=0, no
+    filename field.  Returns each member's byte offset (what the CDX index
+    would publish).  ``extra_members`` appends pre-built raw records (e.g.
+    a warcinfo, or corrupt bytes for error-path tests), gzipped the same
+    way unless already gzip (magic ``1f 8b``).
     """
     import gzip
     import io
@@ -522,7 +725,12 @@ def write_warc_gz(
     offsets: List[int] = []
     buf = io.BytesIO()
     members = [
-        build_warc_record(u, d, h) for (u, d, h) in records
+        build_warc_record(
+            r[0], r[1], r[2],
+            content_encoding=r[3] if len(r) > 3 else None,
+            transfer_encoding=r[4] if len(r) > 4 else None,
+        )
+        for r in records
     ] + list(extra_members or [])
     for m in members:
         offsets.append(buf.tell())

@@ -77,6 +77,165 @@ def test_http_body_non_http_block_passthrough():
     assert http_body(b"HTTP/1.1 200 OK\r\nno terminator") == b""
 
 
+# --- HTTP payload decoding (chunked / content-encoding) ----------------------
+
+ENCODINGS = [
+    (None, None),
+    (None, "chunked"),
+    ("gzip", None),
+    ("gzip", "chunked"),
+    ("deflate", None),
+    ("deflate-raw", None),  # raw-deflate bytes under a `deflate` header
+    ("deflate", "chunked"),
+]
+
+
+@pytest.mark.parametrize("ce,te", ENCODINGS)
+def test_http_body_decodes_encoded_payloads(ce, te):
+    """Every wire encoding a CC capture realistically carries decodes back
+    to the exact original payload — the byte-identity precondition."""
+    html = "<div id=a>café &amp; x</div>".encode() * 9
+    rec = build_warc_record(
+        "http://e/", "2024-01-01T00:00:00Z", html,
+        content_encoding=ce, transfer_encoding=te,
+    )
+    wtype, url, date, block = parse_warc_record(rec)
+    assert wtype == "response"
+    assert http_body(block) == html
+    if te == "chunked":  # chunked responses carry no Content-Length
+        head = block.split(b"\r\n\r\n", 1)[0].lower()
+        assert b"content-length" not in head
+        assert b"transfer-encoding: chunked" in head
+
+
+def test_http_body_chunked_lenient_lf_and_extensions():
+    from dhtmlparser3_spark.sources.warc import _chunked_body, _dechunk
+
+    html = b"0123456789abcdef" * 5
+    body = _chunked_body(html, 7)
+    # bare-LF endings (sloppy server) and chunk extensions both tolerated
+    assert _dechunk(body.replace(b"\r\n", b"\n")) == html
+    ext = body.replace(b"7\r\n", b"7;name=val\r\n", 1)
+    assert _dechunk(ext) == html
+
+
+def test_http_body_undecodable_raises():
+    # br: header present, no codec in this environment
+    rec = build_warc_record(
+        "http://b/", "2024-01-01T00:00:00Z", b"<p>x</p>",
+        content_encoding="br",
+    )
+    block = parse_warc_record(rec)[3]
+    with pytest.raises(ValueError, match="unsupported coding 'br'"):
+        http_body(block)
+    # corrupt gzip payload under a gzip header
+    with pytest.raises(ValueError, match="gzip payload"):
+        http_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+        )
+    # malformed chunk framing
+    with pytest.raises(ValueError, match="chunked"):
+        http_body(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+        )
+
+
+def test_read_warc_decodes_and_errors_encoded_records(spark, tmp_path):
+    """Spark-side: encoded records decode byte-identically; an undecodable
+    record yields an `http:` error row that KEEPS url/date (so it stays
+    lineage-addressable), html NULL."""
+    path = str(tmp_path / "enc.warc.gz")
+    recs = [
+        ("http://ok.example/id", "2024-01-01T00:00:01Z", b"<p>plain</p>"),
+        ("http://ok.example/ch", "2024-01-01T00:00:02Z",
+         b"<div>chunky</div>" * 40, None, "chunked"),
+        ("http://ok.example/gz", "2024-01-01T00:00:03Z",
+         "<b>gzip café</b>".encode() * 30, "gzip"),
+        ("http://ok.example/gzch", "2024-01-01T00:00:04Z",
+         b"<i>both</i>" * 25, "gzip", "chunked"),
+        ("http://ok.example/df", "2024-01-01T00:00:05Z",
+         b"<u>deflate</u>" * 20, "deflate-raw"),
+        ("http://bad.example/br", "2024-01-01T00:00:06Z",
+         b"<p>brotli</p>", "br"),
+    ]
+    write_warc_gz(recs, path)
+    rows = {r.url: r for r in read_warc(spark, path).collect()}
+    assert len(rows) == len(recs)
+    for rec in recs:
+        url, _date, html = rec[0], rec[1], rec[2]
+        r = rows[url]
+        if url.startswith("http://bad."):
+            assert r.error == "http: unsupported coding 'br'"
+            assert r.html is None
+            assert r.warc_ts is not None  # lineage-addressable error row
+        else:
+            assert r.error is None
+            assert bytes(r.html) == html
+
+    # and the random-access path shares the decode (same records by offset)
+    from dhtmlparser3_spark.sources.warc import read_warc_at
+
+    idx = spark.createDataFrame(
+        [(r.src_file, r.rec_offset) for r in rows.values()],
+        "src_file string, rec_offset bigint",
+    )
+    refetched = {r.url: r for r in read_warc_at(idx).collect()}
+    for url, r in rows.items():
+        r2 = refetched[url]
+        assert (r2.html is None) == (r.html is None)
+        if r.html is not None:
+            assert bytes(r2.html) == bytes(r.html)
+        assert (r2.error or "").split(":")[0] == (r.error or "").split(":")[0]
+
+
+def test_warc_encoded_to_extract_byte_identical(spark, tmp_path, ref):
+    """North star through the wire codings: chunked+gzipped captures →
+    warc_pages → extract is byte-identical to the reference parse."""
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+
+    path = str(tmp_path / "enc2e.warc.gz")
+    encs = [(None, None), ("gzip", "chunked"), ("deflate", None)]
+    recs = [
+        (u, d, h, *encs[i]) for i, (u, d, h) in enumerate(DOCS)
+    ]
+    write_warc_gz(recs, path)
+    out = extract_pages(
+        warc_pages(spark, path), parallelism=4, with_metrics=False
+    )
+    got = {
+        r.url: r.extracted_text
+        for r in out.select("url", "extracted_text").collect()
+    }
+    for url, _date, html in DOCS:
+        assert got[url] == ref.parse(html.decode()).content_str()
+
+
+def test_warc_date_fractional_seconds(spark, tmp_path):
+    """WARC/1.1 fractional-second dates parse (ms + µs); a malformed date
+    yields NULL warc_ts without failing the task (try_to_timestamp)."""
+    path = str(tmp_path / "ts.warc.gz")
+    write_warc_gz(
+        [
+            ("http://t/s", "2026-01-01T00:00:00Z", b"<p>s</p>"),
+            ("http://t/ms", "2026-01-01T00:00:00.123Z", b"<p>ms</p>"),
+            ("http://t/us", "2026-01-01T00:00:00.123456Z", b"<p>us</p>"),
+            ("http://t/bad", "not-a-date", b"<p>bad</p>"),
+        ],
+        path,
+    )
+    rows = {r.url: r for r in read_warc(spark, path).collect()}
+    assert rows["http://t/s"].warc_ts.isoformat() == "2026-01-01T00:00:00"
+    assert rows["http://t/ms"].warc_ts.isoformat() == (
+        "2026-01-01T00:00:00.123000"
+    )
+    assert rows["http://t/us"].warc_ts.isoformat() == (
+        "2026-01-01T00:00:00.123456"
+    )
+    bad = rows["http://t/bad"]
+    assert bad.warc_ts is None and bad.error is None  # html still usable
+    assert bytes(bad.html) == b"<p>bad</p>"
+
+
 # --- Spark round-trip --------------------------------------------------------
 
 
@@ -327,11 +486,18 @@ def test_read_warc_stream_parity(spark, tmp_path):
 
     assert rows("stream") == rows("content")
     # and the stream plan reads NO content column: the physical binaryFile
-    # scan is pruned to the path listing
-    plan = (
-        read_warc(spark, clean, io="stream")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "FileScan binaryFile [path#" in plan
+    # scan is pruned to the path listing.  Asserted as a PROPERTY of the
+    # scan node's output attributes, not the rendered plan string (which
+    # changes across Spark versions).
+    def scan_columns(df):
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        cols = set()
+        for i in range(leaves.size()):
+            out = leaves.apply(i).output()
+            cols |= {out.apply(j).name() for j in range(out.size())}
+        return cols
+
+    streamed_cols = scan_columns(read_warc(spark, clean, io="stream"))
+    assert "path" in streamed_cols and "content" not in streamed_cols
+    # the content mode DOES read the bytes through the JVM
+    assert "content" in scan_columns(read_warc(spark, clean, io="content"))
