@@ -620,6 +620,88 @@ def warc_pages(
     )
 
 
+def synthesize_warc_corpus(
+    sf_dir: str, dest_dir: str, shards: int = 8
+) -> List[str]:
+    """documents.parquet → ``dest_dir/shard-%02d.warc.gz``: the same pages
+    corpus ``sources.pages.build_pages`` constructs (same urls, same
+    template html, same per-doc timestamps), but written as Common-Crawl-
+    layout WARC shards so the driver's correctness rows can source the
+    byte-identity pipeline through ``read_warc`` end-to-end.
+
+    Wire realism, all deterministic by doc_id:
+
+    * payload encodings rotate ``identity / gzip / chunked / gzip+chunked /
+      raw-deflate`` (doc_id % 5) — a decode bug in ANY supported coding
+      breaks byte identity for a fifth of the corpus, which the driver's
+      value-hash catches;
+    * each shard leads with a ``warcinfo`` record (skipped by contract) and
+      carries one ``br``-encoded record under a non-corpus url (must become
+      an error row and be FILTERED, not lose neighboring docs).
+
+    ``shards`` is the parallelism knob: one ``.warc.gz`` = one binaryFile
+    task, exactly like Common Crawl's ~72k-file snapshot layout at 100 TB.
+    Docs are assigned round-robin (doc_id % shards).  Returns the shard
+    paths.  Synthesis is pure Python — callers cache the directory (the
+    driver does, keyed on the corpus fingerprint).
+    """
+    import datetime
+    import os
+
+    import duckdb
+
+    from .pages import TEMPLATES, URL_FMT, compile_py
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text, source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    encodings = [
+        (None, None),
+        ("gzip", None),
+        (None, "chunked"),
+        ("gzip", "chunked"),
+        ("deflate-raw", None),
+    ]
+    epoch = datetime.datetime(2024, 1, 1)
+    per_shard: List[List[bytes]] = [[] for _ in range(shards)]
+    for doc_id, text, source in rows:
+        t = doc_id % 5
+        html = compile_py(TEMPLATES[t], doc_id, text).encode()
+        url = URL_FMT % (doc_id % 97, source, doc_id)
+        date = (epoch + datetime.timedelta(seconds=doc_id)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        ce, te = encodings[doc_id % 5]
+        per_shard[doc_id % shards].append(
+            build_warc_record(
+                url, date, html, content_encoding=ce, transfer_encoding=te
+            )
+        )
+    os.makedirs(dest_dir, exist_ok=True)
+    import gzip as _gz
+
+    paths = []
+    for s, recs in enumerate(per_shard):
+        path = os.path.join(dest_dir, f"shard-{s:02d}.warc.gz")
+        info = build_warc_record(
+            "", "2024-01-01T00:00:00Z", b"software: synthesize_warc_corpus",
+            "warcinfo",
+        )
+        bad = build_warc_record(
+            f"https://bad.example/br/{s}", "2024-01-01T00:00:00Z",
+            b"<p>brotli-coded</p>", content_encoding="br",
+        )
+        write_warc_gz(
+            [], path,
+            extra_members=[
+                _gz.compress(m, mtime=0) for m in [info] + recs + [bad]
+            ],
+        )
+        paths.append(path)
+    return paths
+
+
 # --- deterministic writer (tests / benches; no external data) ---------------
 
 

@@ -322,6 +322,37 @@ def test_write_warc_gz_deterministic(tmp_path):
     assert open(p1, "rb").read() == open(p2, "rb").read()
 
 
+def test_synthesize_warc_corpus_matches_build_pages(spark, tmp_path):
+    """The WARC rendering of the pages corpus carries byte-identical html
+    per url to the Spark-codegen build_pages construction, through all
+    five rotating wire encodings; the per-shard br records become error
+    rows and are filtered without losing neighbors; warcinfo leads skip."""
+    from dhtmlparser3_spark.sources.pages import build_pages
+    from dhtmlparser3_spark.sources.warc import (
+        read_warc,
+        synthesize_warc_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    paths = synthesize_warc_corpus(sf, str(tmp_path / "corpus"), shards=4)
+    assert len(paths) == 4
+    glob = str(tmp_path / "corpus" / "*.warc.gz")
+
+    want = {
+        r.url: (bytes(r.html), r.warc_ts)
+        for r in build_pages(spark, sf).select("url", "html", "warc_ts").collect()
+    }
+    raw = read_warc(spark, glob).collect()
+    errs = [r for r in raw if r.error is not None]
+    ok = [r for r in raw if r.error is None]
+    # one br record per shard, each a lineage-addressable http error row
+    assert len(errs) == 4
+    assert all(e.error == "http: unsupported coding 'br'" for e in errs)
+    assert all(e.url.startswith("https://bad.example/br/") for e in errs)
+    got = {r.url: (bytes(r.html), r.warc_ts) for r in ok}
+    assert got == want  # byte-identical html AND timestamps, every url
+
+
 # --- CDX random access (read_warc_at) ----------------------------------------
 
 
