@@ -724,13 +724,48 @@ def main():
             f"itself {hw_4_16:.3f}, normalized {eff_4_16 / hw_4_16:.3f}"
         )
 
-    docs, t_main, checksum, _ = _run_extract(cpus, sf_dir, mult)
+    docs, t_main, checksum, head_samples = _run_extract(cpus, sf_dir, mult)
     result["value"] = round(t_main, 3)
     result["docs"] = docs
     result["docs_per_sec"] = round(docs / t_main, 1)
     result["checksum"] = checksum
+    result["headline_samples"] = [round(s, 3) for s in head_samples]
     log(f"extract @local[{cpus}]: {docs} docs in {t_main:.2f}s "
         f"({docs / t_main:,.0f} docs/sec)")
+    # WINDOW-HEALTH scalar next to the headline (round-4 verdict: the
+    # headline deliberately runs AFTER the scaling gate, so on this VM it
+    # can sample a throttled window and under-sell the engine — r4's
+    # in-artifact 5.95 s vs the same round's best archived 3.69 s).  The
+    # pure-mp ceiling re-measured HERE, in the headline's own window,
+    # makes a degraded record self-explaining: spark_vs_ceiling stays
+    # comparable across windows, and ceiling_vs_gate_window says how much
+    # the machine itself degraded since the (cooler) scaling phase.
+    if os.environ.get("SPARK_GRAFT_MP", "1") != "0":
+        mp_head = _mp_ceiling(cpus, sf_dir, mult)
+        hw = {
+            "mp_ceiling_sec": round(mp_head, 3),
+            "spark_vs_ceiling": round(mp_head / t_main, 3),
+        }
+        gate_ceiling = (
+            (result.get("scaling") or {})
+            .get("mp_ceiling_docs_per_sec", {})
+            .get(str(cpus))
+        )
+        if gate_ceiling:
+            hw["ceiling_vs_gate_window"] = round(
+                (docs / mp_head) / gate_ceiling, 3
+            )
+        result["headline_window"] = hw
+        log(
+            f"headline window health: mp ceiling {mp_head:.2f}s, "
+            f"spark at {hw['spark_vs_ceiling']:.2f} of attainable"
+            + (
+                f", machine at {hw['ceiling_vs_gate_window']:.2f} of its "
+                "gate-phase self"
+                if "ceiling_vs_gate_window" in hw
+                else ""
+            )
+        )
 
     if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
         result["skew"] = _bench_skew(cpus, sf_dir)
@@ -812,6 +847,9 @@ def main():
     )
     # hard guard: the driver's stdout-tail capture window is ~2000 chars —
     # degrade gracefully rather than ever emitting an unparseable record
+    def _trim_head_samples():
+        compact.pop("headline_samples", None)
+
     def _trim_svc():
         (compact.get("scaling") or {}).pop("spark_vs_ceiling", None)
 
@@ -821,7 +859,7 @@ def main():
     def _trim_queries():
         compact["queries"] = {}
 
-    for trim in (_trim_svc, _trim_skew, _trim_queries):
+    for trim in (_trim_head_samples, _trim_svc, _trim_skew, _trim_queries):
         if len(json.dumps(compact, separators=(",", ":"))) <= 1900:
             break
         trim()
@@ -842,8 +880,29 @@ def _write_bench_md(result: dict, mult: int) -> None:
         "",
         f"- input: sf={result['sf']} expanded ×{mult} → {result.get('docs')} docs",
         f"- headline: {result['metric']} = {result['value']}s "
-        f"({result.get('docs_per_sec')} docs/sec)",
+        f"({result.get('docs_per_sec')} docs/sec)"
+        + (
+            f" — samples {result['headline_samples']}"
+            if result.get("headline_samples")
+            else ""
+        ),
     ]
+    hw = result.get("headline_window")
+    if hw:
+        lines.append(
+            f"- headline window health: pure-mp ceiling "
+            f"{hw['mp_ceiling_sec']}s in the SAME window → Spark at "
+            f"{hw['spark_vs_ceiling']} of attainable"
+            + (
+                f"; the machine itself was at "
+                f"{hw['ceiling_vs_gate_window']} of its gate-phase "
+                "throughput (a value well below 1.0 means the headline "
+                "sampled a throttled window — read spark_vs_ceiling, "
+                "not the wall seconds)"
+                if hw.get("ceiling_vs_gate_window")
+                else ""
+            )
+        )
     if os.path.isdir(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history")
     ):
