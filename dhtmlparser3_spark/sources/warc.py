@@ -620,6 +620,108 @@ def warc_pages(
     )
 
 
+# --- CDX index (the published random-access contract) -----------------------
+#
+# Common Crawl publishes its per-record index in CDXJ format: one line per
+# capture, `<urlkey> <timestamp14> <json>` where the json block carries at
+# least {"url", "filename", "offset", "length"} — offset/length are the
+# byte extent of the record's gzip member inside the named .warc.gz, i.e.
+# exactly the (src_file, rec_offset) lineage key read_warc emits and
+# read_warc_at consumes.  Parsing the published format (rather than only
+# our own checkpoints) locks the resume contract to what a real pipeline
+# would be handed.
+
+
+def cdx_line(
+    url: str, ts14: str, filename: str, offset: int, length: int
+) -> str:
+    """One CDXJ line the way Common Crawl's index writes it (urlkey via a
+    minimal SURT transform: host reversed, scheme dropped)."""
+    import json as _json
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    host = ",".join(reversed((parts.hostname or "").split(".")))
+    path = parts.path or "/"
+    urlkey = host + ")" + path + (("?" + parts.query) if parts.query else "")
+    payload = {
+        "url": url,
+        "filename": filename,
+        "offset": str(offset),  # CC serializes these as strings
+        "length": str(length),
+    }
+    return f"{urlkey} {ts14} {_json.dumps(payload, sort_keys=True)}"
+
+
+def parse_cdx_line(line: str) -> Optional[dict]:
+    """CDXJ line → {url, timestamp, filename, offset, length} (ints for the
+    byte extent), or None for a malformed line — an index sweep over a
+    published cdx-*.gz must skip junk, not die."""
+    import json as _json
+
+    line = line.strip()
+    if not line:
+        return None
+    try:
+        _urlkey, ts, payload = line.split(" ", 2)
+        rec = _json.loads(payload)
+        return {
+            "url": rec["url"],
+            "timestamp": ts,
+            "filename": rec["filename"],
+            "offset": int(rec["offset"]),
+            "length": int(rec["length"]),
+        }
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ index file(s) → DataFrame ``(src_file, rec_offset, url,
+    cdx_ts, rec_length)`` — the input shape ``read_warc_at`` fetches by.
+    ``src_file`` is the index's ``filename`` field verbatim (CC publishes
+    paths relative to its bucket; callers prefix their mount point the
+    same way they would for any index consumer).  Malformed lines are
+    dropped (parse_cdx_line contract).  Scale shape: the index is tiny
+    next to the data (offsets, not content) and splits line-wise like any
+    text source."""
+    lines = spark.read.text(path)
+
+    def parse(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            out = {
+                "src_file": [], "rec_offset": [], "url": [],
+                "cdx_ts": [], "rec_length": [],
+            }
+            for line in rb.column(0).to_pylist():
+                rec = parse_cdx_line(line or "")
+                if rec is None:
+                    continue
+                out["src_file"].append(rec["filename"])
+                out["rec_offset"].append(rec["offset"])
+                out["url"].append(rec["url"])
+                out["cdx_ts"].append(rec["timestamp"])
+                out["rec_length"].append(rec["length"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["src_file"], pa.string()),
+                    pa.array(out["rec_offset"], pa.int64()),
+                    pa.array(out["url"], pa.string()),
+                    pa.array(out["cdx_ts"], pa.string()),
+                    pa.array(out["rec_length"], pa.int64()),
+                ],
+                ["src_file", "rec_offset", "url", "cdx_ts", "rec_length"],
+            )
+
+    return lines.mapInArrow(
+        parse,
+        "src_file string, rec_offset bigint, url string, "
+        "cdx_ts string, rec_length bigint",
+    )
+
+
 def synthesize_warc_corpus(
     sf_dir: str, dest_dir: str, shards: int = 8
 ) -> List[str]:

@@ -453,6 +453,159 @@ def test_warc_lineage_resume_composition(spark, tmp_path):
     assert [r.input_path for r in lrows] == [warc]
 
 
+# --- CDX index format (the published random-access contract) -----------------
+
+
+def test_parse_cdx_line_roundtrip_and_junk():
+    from dhtmlparser3_spark.sources.warc import cdx_line, parse_cdx_line
+
+    line = cdx_line(
+        "https://www.example.com/a/b?q=1", "20240102030405",
+        "crawl/seg/file-00001.warc.gz", 4567, 890,
+    )
+    # urlkey is SURT-ish: reversed host, path, query
+    assert line.startswith("com,example,www)/a/b?q=1 20240102030405 {")
+    rec = parse_cdx_line(line)
+    assert rec == {
+        "url": "https://www.example.com/a/b?q=1",
+        "timestamp": "20240102030405",
+        "filename": "crawl/seg/file-00001.warc.gz",
+        "offset": 4567,
+        "length": 890,
+    }
+    # junk lines skip, never raise
+    for junk in ("", "  ", "no-json here", 'key 2024 {"url": "x"}',
+                 'key 2024 {"url":"x","filename":"f","offset":"NaN","length":"1"}'):
+        assert parse_cdx_line(junk) is None
+
+
+def test_read_cdx_drives_read_warc_at(spark, tmp_path):
+    """The PUBLISHED index format drives random access: write a shard +
+    its CDXJ index (offsets from the writer, lengths from offset deltas),
+    parse the index back with read_cdx, fetch via read_warc_at — rows
+    byte-match the sequential scan."""
+    import os
+
+    from dhtmlparser3_spark.sources.warc import (
+        cdx_line, read_cdx, read_warc_at,
+    )
+
+    shard = str(tmp_path / "cc-idx.warc.gz")
+    offs = write_warc_gz(DOCS, shard)
+    ends = offs[1:] + [os.path.getsize(shard)]
+    cdx_path = str(tmp_path / "cc-idx.cdx")
+    with open(cdx_path, "w") as f:
+        f.write("malformed leading line\n")  # read_cdx must skip junk
+        for (url, date, _html), off, end in zip(DOCS, offs, ends):
+            ts14 = date.replace("-", "").replace(":", "").replace("T", "")
+            ts14 = ts14.replace("Z", "")
+            f.write(cdx_line(url, ts14, shard, off, end - off) + "\n")
+
+    idx = read_cdx(spark, cdx_path)
+    assert {
+        (r.src_file, r.rec_offset, r.rec_length > 0) for r in idx.collect()
+    } == {(shard, off, True) for off in offs}
+    fetched = read_warc_at(idx.select("src_file", "rec_offset"))
+    scanned = read_warc(spark, shard)
+    key = lambda r: (r.url, bytes(r.html), r.warc_ts)
+    assert sorted(map(key, fetched.collect())) == sorted(
+        map(key, scanned.collect())
+    )
+
+
+# --- structural fuzz: the error policy under arbitrary corruption ------------
+
+
+def test_warc_structural_fuzz_error_policy(spark, tmp_path):
+    """Seeded structural corruption over multi-record shards (truncation,
+    byte flips, garbage spliced between members, re-gzipped records with
+    broken WARC headers), all replayed through the full Spark reader in
+    ONE glob read.  Invariants, whatever the corruption: the scan never
+    fails a task; every clean row decodes byte-identically to its source
+    document; members strictly before the first corrupted member are
+    always present; error rows carry only the documented prefixes; a
+    corrupt member ends only ITS file's scan."""
+    import gzip as _gz
+    import random
+
+    docs = [
+        (f"http://h{i}.example/p{i}", "2024-05-06T07:08:09Z",
+         f"<div id=d{i}>text {i} &amp; tail</div>".encode() * (1 + i % 3),
+         [None, "gzip", None, "deflate", None][i % 5],
+         [None, None, "chunked", None, None][i % 5])
+        for i in range(6)
+    ]
+    clean = str(tmp_path / "clean.warc.gz")
+    offsets = write_warc_gz(docs, clean)
+    blob = open(clean, "rb").read()
+    want_html = {u: h for (u, _d, h, _ce, _te) in docs}
+
+    def member_index(pos: int) -> int:
+        """Index of the member whose byte range contains pos."""
+        return max(
+            next((j for j, off in enumerate(offsets) if off > pos),
+                 len(offsets)) - 1,
+            0,
+        )
+
+    rng = random.Random(20260819)
+    n_files = 24
+    # per file: (must_have: member idxs always present+clean,
+    #            warc_error_expected: bool)
+    expect = {}
+    for i in range(n_files):
+        mode = ["truncate", "flip", "splice", "warcbad"][i % 4]
+        b = bytearray(blob)
+        warc_err = False
+        if mode == "truncate":
+            cut = rng.randrange(1, len(b))
+            b = b[:cut]
+            must_have = [j for j, off in enumerate(offsets) if
+                         (offsets[j + 1] if j + 1 < len(offsets) else
+                          len(blob)) <= cut]
+        elif mode == "flip":
+            pos = rng.randrange(len(b))
+            b[pos] ^= 0xFF
+            must_have = list(range(member_index(pos)))
+        elif mode == "splice":
+            at = rng.randrange(1, len(offsets))
+            b = b[: offsets[at]] + bytes([0x13, 0x37] * 8) + b[offsets[at]:]
+            must_have = list(range(at))
+        else:  # warcbad: valid gzip member, broken WARC header inside
+            at = rng.randrange(len(offsets))
+            lo = offsets[at]
+            hi = offsets[at + 1] if at + 1 < len(offsets) else len(blob)
+            bad_rec = _gz.compress(
+                b"WARC/1.0\r\nWARC-Type: response\r\n\r\nno length", mtime=0
+            )
+            b = b[:lo] + bad_rec + b[hi:]
+            # warc-header errors do NOT end the scan: everything else stays
+            must_have = [j for j in range(len(offsets)) if j != at]
+            warc_err = True
+        p = str(tmp_path / f"fuzz-{i:02d}.warc.gz")
+        open(p, "wb").write(bytes(b))
+        expect[f"fuzz-{i:02d}.warc.gz"] = (must_have, warc_err)
+
+    rows = read_warc(spark, str(tmp_path / "fuzz-*.warc.gz")).collect()
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r.src_file.rsplit("/", 1)[-1], []).append(r)
+    for fname, (must_have, warc_err) in expect.items():
+        rs = by_file.get(fname, [])
+        ok = [r for r in rs if r.error is None]
+        errs = [r for r in rs if r.error is not None]
+        # every clean row decodes byte-identically to its source doc
+        for r in ok:
+            assert bytes(r.html) == want_html[r.url], fname
+        clean_urls = {r.url for r in ok}
+        for j in must_have:
+            assert docs[j][0] in clean_urls, (fname, j, sorted(clean_urls))
+        for r in errs:
+            assert r.error.split(":")[0] in ("gzip", "warc", "http"), r.error
+        if warc_err:
+            assert any(r.error.startswith("warc:") for r in errs), fname
+
+
 # --- streaming io mode (read_warc io="stream") --------------------------------
 
 
