@@ -453,6 +453,33 @@ def test_warc_lineage_resume_composition(spark, tmp_path):
     assert [r.input_path for r in lrows] == [warc]
 
 
+def test_http_decode_roundtrip_property():
+    """Hypothesis: for ARBITRARY payload bytes, any supported wire coding
+    composition round-trips byte-identically through build → parse →
+    http_body — the decode layer can never alter the bytes entering
+    parse()."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        payload=st.binary(min_size=0, max_size=2048),
+        ce=st.sampled_from([None, "gzip", "deflate", "deflate-raw"]),
+        te=st.sampled_from([None, "chunked"]),
+        chunk=st.integers(min_value=1, max_value=97),
+    )
+    def check(payload, ce, te, chunk):
+        rec = build_warc_record(
+            "http://fuzz/", "2024-01-01T00:00:00Z", payload,
+            content_encoding=ce, transfer_encoding=te, chunk_size=chunk,
+        )
+        wtype, _u, _d, block = parse_warc_record(rec)
+        assert wtype == "response"
+        assert http_body(block) == payload
+
+    check()
+
+
 # --- CDX index format (the published random-access contract) -----------------
 
 
