@@ -1,0 +1,169 @@
+"""WARC structural-corruption hunt (round 5): volume version of the CI pin
+``tests/test_warc.py::test_warc_structural_fuzz_error_policy``.
+
+Builds one clean multi-record shard per seed (records rotate every
+supported wire coding: identity / gzip / chunked / gzip+chunked /
+raw-deflate), then derives N corrupted shards per seed across four axes:
+
+  1. TRUNCATION        — cut the compressed stream at a random byte;
+  2. BYTE FLIP         — XOR one random compressed byte;
+  3. MEMBER SPLICE     — inject garbage bytes between two gzip members;
+  4. WARC-HEADER BREAK — replace one member with a valid-gzip record
+                         whose WARC headers are malformed.
+
+All shards are read back through the FULL Spark reader in one glob scan
+per seed.  Violations hunted (the module's documented error policy,
+sources/warc.py):
+
+  * a task failure (any corruption crashing the scan);
+  * a clean row whose html is NOT byte-identical to its source document;
+  * a member strictly before the first corrupted member going missing;
+  * an error row with an undocumented prefix (not gzip:/warc:/http:);
+  * a warc-header error ending the file scan (it must continue).
+
+Run:  python scripts/hunt_warc_fuzz.py  [HUNT_SEEDS=8 HUNT_FILES=64]
+"""
+import gzip
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from dhtmlparser3_spark.plans.session import get_spark
+from dhtmlparser3_spark.sources.warc import read_warc, write_warc_gz
+
+SEEDS = int(os.environ.get("HUNT_SEEDS", "8"))
+FILES = int(os.environ.get("HUNT_FILES", "64"))  # corrupted shards per seed
+
+ENCODINGS = [
+    (None, None),
+    ("gzip", None),
+    (None, "chunked"),
+    ("gzip", "chunked"),
+    ("deflate-raw", None),
+]
+
+
+def build_docs(rng: random.Random, n: int):
+    docs = []
+    for i in range(n):
+        body = (
+            f"<div id=d{i}>doc {i} &amp; "
+            + "word " * rng.randrange(1, 40)
+            + "</div>"
+        ).encode()
+        ce, te = ENCODINGS[i % len(ENCODINGS)]
+        docs.append(
+            (f"http://h{i}.example/p{i}", "2024-05-06T07:08:09Z", body, ce, te)
+        )
+    return docs
+
+
+def corrupt(blob: bytes, offsets, rng: random.Random):
+    """One corrupted shard + (must_have member idxs, warc_err expected)."""
+    mode = rng.choice(["truncate", "flip", "splice", "warcbad"])
+    b = bytearray(blob)
+    n = len(offsets)
+    if mode == "truncate":
+        cut = rng.randrange(1, len(b))
+        ends = offsets[1:] + [len(blob)]
+        return bytes(b[:cut]), [j for j in range(n) if ends[j] <= cut], False
+    if mode == "flip":
+        pos = rng.randrange(len(b))
+        b[pos] ^= 0xFF
+        first = max(
+            next((j for j, off in enumerate(offsets) if off > pos), n) - 1, 0
+        )
+        return bytes(b), list(range(first)), False
+    if mode == "splice":
+        at = rng.randrange(1, n)
+        return (
+            bytes(b[: offsets[at]])
+            + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 24)))
+            + bytes(b[offsets[at]:]),
+            list(range(at)),
+            False,
+        )
+    at = rng.randrange(n)
+    lo = offsets[at]
+    hi = offsets[at + 1] if at + 1 < n else len(blob)
+    bad = rng.choice(
+        [
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\nno length",
+            b"NOTWARC/9\r\nContent-Length: 4\r\n\r\nxxxx",
+            b"WARC/1.0\r\nContent-Length: 999999\r\n\r\nshort",
+        ]
+    )
+    return (
+        bytes(b[:lo]) + gzip.compress(bad, mtime=0) + bytes(b[hi:]),
+        [j for j in range(n) if j != at],
+        True,
+    )
+
+
+def main():
+    spark = get_spark(app_name="hunt-warc-fuzz", cpus=16)
+    total_files = total_rows = total_errs = 0
+    violations = []
+    t0 = time.time()
+    for seed in range(SEEDS):
+        rng = random.Random(77000 + seed)
+        docs = build_docs(rng, rng.randrange(4, 12))
+        with tempfile.TemporaryDirectory(prefix="warcfuzz_") as td:
+            clean = os.path.join(td, "clean.warc.gz")
+            offsets = write_warc_gz(docs, clean)
+            blob = open(clean, "rb").read()
+            os.unlink(clean)  # only corrupted shards in the glob
+            expect = {}
+            for i in range(FILES):
+                data, must_have, warc_err = corrupt(blob, offsets, rng)
+                name = f"f{i:03d}.warc.gz"
+                open(os.path.join(td, name), "wb").write(data)
+                expect[name] = (must_have, warc_err)
+            rows = read_warc(spark, td + "/*.warc.gz").collect()
+            total_files += FILES
+            total_rows += len(rows)
+            by_file = {}
+            for r in rows:
+                by_file.setdefault(r.src_file.rsplit("/", 1)[-1], []).append(r)
+            want_html = {u: h for (u, _d, h, _ce, _te) in docs}
+            for name, (must_have, warc_err) in expect.items():
+                rs = by_file.get(name, [])
+                ok = [r for r in rs if r.error is None]
+                errs = [r for r in rs if r.error is not None]
+                total_errs += len(errs)
+                for r in ok:
+                    if bytes(r.html) != want_html.get(r.url):
+                        violations.append((seed, name, "byte-mismatch", r.url))
+                clean_urls = {r.url for r in ok}
+                for j in must_have:
+                    if docs[j][0] not in clean_urls:
+                        violations.append((seed, name, "missing-early", j))
+                for r in errs:
+                    if r.error.split(":")[0] not in ("gzip", "warc", "http"):
+                        violations.append((seed, name, "bad-prefix", r.error))
+                if warc_err and not any(
+                    r.error.startswith("warc:") for r in errs
+                ):
+                    violations.append((seed, name, "warc-error-lost", None))
+        print(
+            f"seed {seed}: {FILES} shards, cumulative rows={total_rows} "
+            f"errs={total_errs} violations={len(violations)} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    print(
+        f"DONE: {total_files} corrupted shards, {total_rows} rows, "
+        f"{total_errs} error rows, {len(violations)} violations"
+    )
+    for v in violations[:20]:
+        print("VIOLATION:", v)
+    spark.stop()
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
