@@ -7,8 +7,12 @@
         --sf-dir /root/testdata/sf0.001 --output /tmp/out \
         --lineage /tmp/out_lineage --buckets 64 [--max-buckets 8]
 
-Runs one resumable micro-run of the extraction pipeline; re-invoking after
-a kill resumes from the lineage table (see pipeline/lineage.py).
+Input is one of --warc (Common-Crawl .warc.gz glob — the north-star shape;
+HTTP payloads decoded, poison records become error rows), --pages-table
+(existing Iceberg/parquet pages table) or --sf-dir (synthesize the test
+corpus).  Runs one resumable micro-run of the extraction pipeline;
+re-invoking after a kill resumes from the lineage table (see
+pipeline/lineage.py).
 """
 
 from __future__ import annotations
@@ -26,6 +30,21 @@ def main() -> int:
         help="read an existing pages table (Iceberg name or parquet dir) "
         "instead of synthesizing from --sf-dir",
     )
+    ap.add_argument(
+        "--warc",
+        help="ingest Common-Crawl .warc.gz file(s) (Hadoop glob) as the "
+        "pages input — per-record gzip members, HTTP payloads dechunked/"
+        "decompressed, undecodable records dropped as error rows "
+        "(sources/warc.py)",
+    )
+    ap.add_argument(
+        "--warc-io",
+        choices=["content", "stream"],
+        default="content",
+        help="WARC byte transport: 'content' (binaryFile, FS-portable) or "
+        "'stream' (path-only scan + incremental decompress; O(batch) "
+        "worker memory — the 100TB mode where executors mount the store)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--buckets", type=int, default=64)
@@ -41,11 +60,15 @@ def main() -> int:
     from dhtmlparser3_spark.sources.pages import build_pages
     from dhtmlparser3_spark.sources.tables import read_pages
 
-    if args.pages_table:
+    if args.warc:
+        from dhtmlparser3_spark.sources.warc import warc_pages
+
+        pages = warc_pages(spark, args.warc, io=args.warc_io)
+    elif args.pages_table:
         pages = read_pages(spark, args.pages_table)
     else:
         if not args.sf_dir:
-            ap.error("--sf-dir or --pages-table required")
+            ap.error("--warc, --pages-table or --sf-dir required")
         pages = build_pages(spark, args.sf_dir, multiplier=args.multiplier)
     result = run_extract_job(
         spark,
@@ -53,7 +76,7 @@ def main() -> int:
         args.output,
         args.lineage,
         n_buckets=args.buckets,
-        input_path=args.pages_table or args.sf_dir,
+        input_path=args.warc or args.pages_table or args.sf_dir,
         max_buckets_per_run=args.max_buckets,
     )
     bad = verify_run(spark, args.output, args.lineage).count()

@@ -83,3 +83,65 @@ def test_spark_submit_pyfiles_resumable(tmp_path):
     second = run()
     assert second["processed"] == 0 and second["skipped"] == 8
     assert second["digest_mismatches"] == 0
+
+
+def test_spark_submit_warc_input(tmp_path):
+    """North-star input shape: spark-submit --py-files over .warc.gz input
+    (wire-encoded records), resumable, digests verified."""
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    from dhtmlparser3_spark.sources.warc import write_warc_gz
+
+    warc = str(tmp_path / "in.warc.gz")
+    docs = [
+        (f"http://h{i}.example/p", "2024-03-04T05:06:07Z",
+         f"<div id=d{i}>doc {i} &amp; more</div>".encode(),
+         [None, "gzip", None][i % 3], [None, None, "chunked"][i % 3])
+        for i in range(24)
+    ]
+    write_warc_gz(docs, warc)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "build_pyfiles.py")],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    script = tmp_path / "extract_job_main.py"
+    shutil.copyfile(os.path.join(REPO, "jobs", "extract_job_main.py"), script)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    out_dir, lineage = str(tmp_path / "out"), str(tmp_path / "lineage")
+    cmd = [
+        submit,
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        str(script),
+        "--warc", warc,
+        "--output", out_dir,
+        "--lineage", lineage,
+        "--buckets", "4",
+    ]
+
+    def run():
+        p = subprocess.run(
+            cmd, cwd=str(tmp_path), env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert p.returncode == 0, p.stderr[-4000:]
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = run()
+    assert first["processed"] == 4 and first["digest_mismatches"] == 0
+    second = run()  # resume: all buckets committed
+    assert second["skipped"] == 4 and second["digest_mismatches"] == 0
+
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/**/*.parquet')"
+    ).fetchone()[0]
+    assert got == len(docs)
