@@ -220,8 +220,19 @@ def _decode_coding(body: bytes, coding: bytes) -> bytes:
         return _inflate_payload(body)
     if coding in (b"identity", b""):
         return body
-    # br / zstd / unknown: no codec in this environment — error row, never
-    # a silent pass-through of compressed bytes into parse()
+    if coding == b"br":
+        # brotli seam: decoded when the codec is installed (real clusters
+        # ship it; this container does not) — otherwise an error row, never
+        # a silent pass-through of compressed bytes into parse()
+        try:
+            import brotli  # type: ignore
+        except ImportError:
+            raise ValueError("unsupported coding 'br'")
+        try:
+            return brotli.decompress(body)
+        except Exception as e:
+            raise ValueError(f"br payload: {e}")
+    # zstd / unknown
     raise ValueError(
         f"unsupported coding {coding.decode('ascii', 'replace')!r}"
     )
