@@ -44,6 +44,14 @@ pipeline would skip past it) with one error row saying so.  Non-``response``
 records (warcinfo, request, metadata) are skipped: that is every WARC
 consumer's contract, not data loss.
 
+Both WARC layouts are read, detected per file (and per offset in the
+ranged reader) by the gzip magic: Common Crawl's per-record-gzip
+``.warc.gz`` (offsets = member starts, the CDX key) and UNCOMPRESSED
+``.warc`` (wget/warcio's default; offsets = record starts).  Plain-mode
+boundaries derive from each record's ``Content-Length`` header, so a
+malformed header there ends that file's scan (gzip members re-sync,
+plain records cannot) — same one-error-row policy.
+
 HTTP payload decoding: real Common Crawl ``response`` blocks frequently
 carry ``Transfer-Encoding: chunked`` and/or ``Content-Encoding:
 gzip/deflate`` — the capture preserves the wire bytes, so the ingest edge
@@ -80,6 +88,18 @@ RAW_SCHEMA = (
 )
 
 _CRLF2 = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
+# cap on a plain-mode WARC header block: a record whose CRLFCRLF terminator
+# has not appeared within this many bytes is malformed, not merely large
+_MAX_WARC_HEADER = 1 << 20
+
+
+class WarcStreamError(Exception):
+    """The record STREAM is no longer trustworthy (truncated/corrupt gzip
+    member, unparseable plain-mode header — whose Content-Length defines
+    the next record boundary): the reader must emit one error row and end
+    THIS file's scan.  Per-record errors inside an intact stream raise
+    ValueError instead and the scan continues."""
 
 
 def split_gzip_members(data: bytes) -> Iterator[Tuple[int, bytes]]:
@@ -296,6 +316,86 @@ def stream_gzip_members(
         buf = d.unused_data
 
 
+def _plain_record_extent(buf: bytes, pos: int) -> Tuple[int, int]:
+    """(header_end, content_length) of the plain-mode record starting at
+    ``pos`` in ``buf``; raises WarcStreamError if the header is malformed —
+    in an UNCOMPRESSED stream the Content-Length header IS the record
+    boundary, so an unparseable header means every later boundary is
+    untrusted (unlike the gzip layout, where members re-sync)."""
+    head_end = buf.find(_CRLF2, pos, pos + _MAX_WARC_HEADER)
+    if head_end < 0:
+        raise WarcStreamError(f"no header terminator at offset {pos}")
+    if not buf[pos : pos + 5] == b"WARC/":
+        raise WarcStreamError(f"bad version line at offset {pos}")
+    clen = None
+    for ln in buf[pos:head_end].split(b"\r\n")[1:]:
+        k, sep, v = ln.partition(b":")
+        if sep and k.strip().lower() == b"content-length":
+            try:
+                clen = int(v.strip())
+            except ValueError:
+                pass
+    if clen is None or clen < 0:
+        raise WarcStreamError(f"missing Content-Length at offset {pos}")
+    return head_end, clen
+
+
+def split_warc_plain(data: bytes) -> Iterator[Tuple[int, bytes]]:
+    """Record iterator over an UNCOMPRESSED ``.warc`` stream (wget's and
+    warcio's default output; Common Crawl always ships per-record gzip,
+    but the format is legitimate and silently skipping it would be data
+    loss).  Offsets are record START byte positions — what a CDX over an
+    uncompressed WARC publishes.  Raises WarcStreamError on a malformed
+    header or truncated record (boundary-defining, see
+    _plain_record_extent)."""
+    pos, n = 0, len(data)
+    while pos < n:
+        while data[pos : pos + 2] == b"\r\n":  # inter-record trailers
+            pos += 2
+        if pos >= n:
+            return
+        head_end, clen = _plain_record_extent(data, pos)
+        end = head_end + 4 + clen
+        if end > n:
+            raise WarcStreamError(f"truncated record at offset {pos}")
+        yield pos, data[pos:end]
+        pos = end
+
+
+def stream_warc_plain(
+    f, chunk_bytes: int = 1 << 20
+) -> Iterator[Tuple[int, bytes]]:
+    """``split_warc_plain`` over a FILE OBJECT: holds one record + one
+    read buffer.  Same offsets, same payloads, same WarcStreamError
+    policy."""
+    base = 0  # absolute offset of buf[0]
+    buf = b""
+    while True:
+        # ensure a parseable header (or EOF) in the buffer
+        while True:
+            while buf[:2] == b"\r\n":
+                base += 2
+                buf = buf[2:]
+            if buf.find(_CRLF2) >= 0 or len(buf) > _MAX_WARC_HEADER + 4:
+                break
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                if not buf:
+                    return
+                break
+            buf += chunk
+        head_end, clen = _plain_record_extent(buf, 0)
+        end = head_end + 4 + clen
+        while len(buf) < end:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                raise WarcStreamError(f"truncated record at offset {base}")
+            buf += chunk
+        yield base, buf[:end]
+        base += end
+        buf = buf[end:]
+
+
 def _local_path(path: str) -> str:
     """binaryFile / input listings emit ``file:`` URIs; open() wants a
     plain path.  (On a cluster this open() is the posix/NFS seam — an
@@ -321,6 +421,10 @@ def _iter_record_rows(path: str, members: Iterator[Tuple[int, bytes]]):
             return
         except (zlib.error, OSError) as e:
             yield (path, -1, None, None, None, f"gzip: {e}")
+            return
+        except WarcStreamError as e:
+            # plain-mode boundary loss: same end-this-file policy
+            yield (path, -1, None, None, None, f"warc: {e} (scan ended)")
             return
         try:
             wtype, url, date, block = parse_warc_record(raw)
@@ -393,9 +497,13 @@ def _records_arrow_iterator(batch_rows: int):
                     rb.schema.get_field_index("content")
                 ).to_pylist()
                 for path, data in zip(paths, contents):
-                    yield _iter_record_rows(
-                        path, split_gzip_members(bytes(data))
+                    data = bytes(data)
+                    members = (
+                        split_gzip_members(data)
+                        if data[:2] == _GZ_MAGIC
+                        else split_warc_plain(data)
                     )
+                    yield _iter_record_rows(path, members)
 
         yield from _batched_record_batches(row_iters(), batch_rows)
 
@@ -422,7 +530,14 @@ def _stream_arrow_iterator(batch_rows: int):
                         )
                         continue
                     with f:
-                        yield _iter_record_rows(path, stream_gzip_members(f))
+                        magic = f.read(2)
+                        f.seek(0)
+                        members = (
+                            stream_gzip_members(f)
+                            if magic == _GZ_MAGIC
+                            else stream_warc_plain(f)
+                        )
+                        yield _iter_record_rows(path, members)
 
         yield from _batched_record_batches(row_iters(), batch_rows)
 
@@ -516,14 +631,30 @@ def _ranged_arrow_iterator(batch_rows: int):
 
     def _member_at(f, offset: int) -> bytes:
         f.seek(offset)
-        d = zlib.decompressobj(wbits=31)
-        out = []
-        while not d.eof:
-            chunk = f.read(1 << 20)
+        head = f.read(2)
+        f.seek(offset)
+        if head == _GZ_MAGIC:
+            d = zlib.decompressobj(wbits=31)
+            out = []
+            while not d.eof:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    raise zlib.error(
+                        f"truncated gzip member at offset {offset}"
+                    )
+                out.append(d.decompress(chunk))
+            return b"".join(out)
+        # plain (uncompressed .warc) offset: read the header block, then
+        # exactly Content-Length more bytes — never the rest of the file
+        buf = f.read(min(_MAX_WARC_HEADER + 4, 1 << 20))
+        head_end, clen = _plain_record_extent(buf, 0)
+        end = head_end + 4 + clen
+        while len(buf) < end:
+            chunk = f.read(min(end - len(buf), 1 << 20))
             if not chunk:
-                raise zlib.error(f"truncated gzip member at offset {offset}")
-            out.append(d.decompress(chunk))
-        return b"".join(out)
+                raise WarcStreamError(f"truncated record at offset {offset}")
+            buf += chunk
+        return buf[:end]
 
     def run(batches):
         cols: dict = {k: [] for k in out_t}
@@ -555,7 +686,9 @@ def _ranged_arrow_iterator(batch_rows: int):
                             cur_path = local
                         raw = _member_at(cur_f, off)
                         wtype, url, date, block = parse_warc_record(raw)
-                    except (OSError, zlib.error, ValueError) as e:
+                    except (
+                        OSError, zlib.error, ValueError, WarcStreamError
+                    ) as e:
                         emit(path, off, None, None, None, f"fetch: {e}")
                         continue
                     if wtype != "response":
@@ -897,6 +1030,24 @@ def build_warc_record(
     # terminates the header (ISO 28500 §4), then the block, then the
     # two-CRLF record trailer
     return head + b"\r\n" + block + _CRLF2
+
+
+def write_warc_plain(records: List[Tuple], path: str) -> List[int]:
+    """Uncompressed ``.warc`` writer (wget/warcio's default layout): the
+    same records as ``write_warc_gz``, concatenated raw.  Returns each
+    record's start byte offset — the plain-mode random-access key."""
+    offsets: List[int] = []
+    with open(path, "wb") as f:
+        for r in records:
+            offsets.append(f.tell())
+            f.write(
+                build_warc_record(
+                    r[0], r[1], r[2],
+                    content_encoding=r[3] if len(r) > 3 else None,
+                    transfer_encoding=r[4] if len(r) > 4 else None,
+                )
+            )
+    return offsets
 
 
 def write_warc_gz(

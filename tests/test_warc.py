@@ -480,6 +480,74 @@ def test_http_decode_roundtrip_property():
     check()
 
 
+# --- uncompressed .warc layout ------------------------------------------------
+
+
+def test_read_warc_plain_matches_gz(spark, tmp_path):
+    """The same records through both layouts (uncompressed .warc = wget/
+    warcio default, per-record-gzip .warc.gz = Common Crawl) yield the
+    same decoded rows, in the same one-glob read; offsets key each
+    layout's own random-access scheme.  io='stream' parity included."""
+    from dhtmlparser3_spark.sources.warc import (
+        read_warc_at,
+        write_warc_plain,
+    )
+
+    recs = [
+        (u, d, h, *enc)
+        for (u, d, h), enc in zip(
+            DOCS, [(None, None), ("gzip", "chunked"), ("deflate", None)]
+        )
+    ]
+    plain = str(tmp_path / "a.warc")
+    gz = str(tmp_path / "b.warc.gz")
+    p_offs = write_warc_plain(recs, plain)
+    write_warc_gz(recs, gz)
+
+    def rows(df):
+        return sorted(
+            (r.url, bytes(r.html), r.warc_ts, r.error) for r in df.collect()
+        )
+
+    got_plain = rows(read_warc(spark, plain))
+    assert got_plain == rows(read_warc(spark, gz))
+    assert all(e is None for (_u, _h, _t, e) in got_plain)
+    # stream io over the plain layout: identical rows
+    assert rows(read_warc(spark, plain, io="stream")) == got_plain
+    # mixed-layout glob reads both files in one scan
+    assert len(read_warc(spark, str(tmp_path / "*.warc*")).collect()) == 6
+
+    # plain-mode random access: offsets are record starts
+    idx = spark.createDataFrame(
+        [(plain, o) for o in p_offs], "src_file string, rec_offset bigint"
+    )
+    fetched = rows(read_warc_at(idx))
+    assert fetched == got_plain
+
+
+def test_read_warc_plain_error_policy(spark, tmp_path):
+    """Plain-mode boundaries come from Content-Length, so a malformed
+    header ends THAT file's scan with one warc: error row; records before
+    it survive."""
+    from dhtmlparser3_spark.sources.warc import write_warc_plain
+
+    path = str(tmp_path / "bad.warc")
+    write_warc_plain(DOCS[:2], path)
+    with open(path, "ab") as f:
+        f.write(b"GARBAGE not a warc header\r\n\r\nmore bytes")
+    rows = read_warc(spark, path).orderBy("rec_offset").collect()
+    ok = [r for r in rows if r.error is None]
+    errs = [r for r in rows if r.error is not None]
+    assert [r.url for r in ok] == [u for (u, _d, _h) in DOCS[:2]]
+    assert len(errs) == 1
+    assert errs[0].error.startswith("warc:") and "scan ended" in errs[0].error
+    # stream mode: same policy through the shared record loop
+    srows = read_warc(spark, path, io="stream").orderBy("rec_offset").collect()
+    assert [(r.url, r.error and r.error.split(":")[0]) for r in srows] == [
+        (r.url, r.error and r.error.split(":")[0]) for r in rows
+    ]
+
+
 # --- CDX index format (the published random-access contract) -----------------
 
 
