@@ -104,7 +104,43 @@ def corrupt(blob: bytes, offsets, rng: random.Random):
     )
 
 
+def corrupt_plain(blob: bytes, offsets, rng: random.Random):
+    """Plain-layout corruption.  Boundaries derive from Content-Length
+    headers (no gzip integrity layer), so every axis here breaks the
+    header chain and the scan must END at the corrupted record with the
+    earlier records intact.  Byte flips are NOT hunted in plain mode: a
+    flip inside a record's payload legitimately changes the html bytes
+    without any detectable error — inherent to the format."""
+    mode = rng.choice(["truncate", "splice", "warcbad"])
+    b = bytearray(blob)
+    n = len(offsets)
+    if mode == "truncate":
+        cut = rng.randrange(1, len(b))
+        # records strictly before the one containing the cut must survive
+        first_bad = max(
+            next((j for j, off in enumerate(offsets) if off >= cut), n) - 1, 0
+        )
+        return bytes(b[:cut]), list(range(first_bad)), False
+    if mode == "splice":
+        at = rng.randrange(1, n)
+        return (
+            bytes(b[: offsets[at]])
+            + b"JUNK" * rng.randrange(1, 6)
+            + bytes(b[offsets[at]:]),
+            list(range(at)),
+            False,
+        )
+    at = rng.randrange(n)
+    lo = offsets[at]
+    hi = offsets[at + 1] if at + 1 < n else len(blob)
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nno length\r\n\r\n"
+    # malformed header in plain mode ends the scan (boundary loss)
+    return bytes(b[:lo]) + bad + bytes(b[hi:]), list(range(at)), True
+
+
 def main():
+    from dhtmlparser3_spark.sources.warc import write_warc_plain
+
     spark = get_spark(app_name="hunt-warc-fuzz", cpus=16)
     total_files = total_rows = total_errs = 0
     violations = []
@@ -112,18 +148,29 @@ def main():
     for seed in range(SEEDS):
         rng = random.Random(77000 + seed)
         docs = build_docs(rng, rng.randrange(4, 12))
+        plain_layout = seed % 2 == 1  # alternate .warc.gz / plain .warc
         with tempfile.TemporaryDirectory(prefix="warcfuzz_") as td:
-            clean = os.path.join(td, "clean.warc.gz")
-            offsets = write_warc_gz(docs, clean)
+            if plain_layout:
+                clean = os.path.join(td, "clean.warc")
+                offsets = write_warc_plain(docs, clean)
+            else:
+                clean = os.path.join(td, "clean.warc.gz")
+                offsets = write_warc_gz(docs, clean)
             blob = open(clean, "rb").read()
             os.unlink(clean)  # only corrupted shards in the glob
             expect = {}
             for i in range(FILES):
-                data, must_have, warc_err = corrupt(blob, offsets, rng)
-                name = f"f{i:03d}.warc.gz"
+                if plain_layout:
+                    data, must_have, warc_err = corrupt_plain(
+                        blob, offsets, rng
+                    )
+                    name = f"f{i:03d}.warc"
+                else:
+                    data, must_have, warc_err = corrupt(blob, offsets, rng)
+                    name = f"f{i:03d}.warc.gz"
                 open(os.path.join(td, name), "wb").write(data)
                 expect[name] = (must_have, warc_err)
-            rows = read_warc(spark, td + "/*.warc.gz").collect()
+            rows = read_warc(spark, td + "/*.warc*").collect()
             total_files += FILES
             total_rows += len(rows)
             by_file = {}
