@@ -764,6 +764,67 @@ def warc_pages(
     )
 
 
+# binaryFile's fixed schema, needed explicitly by the STREAMING reader
+# (file stream sources require a user-supplied schema)
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 2048,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """STREAMING variant of ``read_warc``: a Structured Streaming source
+    over a directory where ``.warc``/``.warc.gz`` shards ARRIVE (a live
+    crawl drop point) — each micro-batch ingests up to
+    ``max_files_per_trigger`` newly-seen shards through the SAME record
+    loop as the batch reader (layout detection, HTTP decode, error
+    policy all shared — parity pinned in test_warc).
+
+    Composition is the rest of the streaming tier unchanged:
+    ``warc_pages_stream → streaming/stream_extract.extract_stream →
+    file sink`` is exactly-once end-to-end (file source + checkpoint +
+    file sink), so a killed ingest job resumes at the next shard, the
+    streaming twin of the batch lineage/resume contract.  (Not to be
+    confused with ``read_warc(io="stream")``, which picks the BYTE
+    TRANSPORT inside a batch scan.)
+
+    Scale shape: identical to batch — one task per shard, records leave
+    the worker in ≤ ``batch_rows`` Arrow batches, raw bytes never
+    shuffle.  The file-listing state is the source's only driver state;
+    at snapshot scale point each job at its shard prefix.
+    """
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    raw = files.select("path", "content").mapInArrow(
+        _records_arrow_iterator(batch_rows), RAW_SCHEMA
+    )
+    return _with_warc_ts(raw)
+
+
+def warc_pages_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``warc_pages``: clean records in the
+    ``input_hint`` pages shape (error rows filtered)."""
+    return (
+        read_warc_stream(spark, path)
+        .where(F.col("error").isNull())
+        .select(
+            "url",
+            "warc_ts",
+            "html",
+            F.lit("").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+
+
 # --- CDX index (the published random-access contract) -----------------------
 #
 # Common Crawl publishes its per-record index in CDXJ format: one line per

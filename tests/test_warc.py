@@ -480,6 +480,64 @@ def test_http_decode_roundtrip_property():
     check()
 
 
+# --- streaming ingest (read_warc_stream) --------------------------------------
+
+
+def test_warc_stream_ingest_exactly_once(spark, tmp_path, ref):
+    """Streaming ingest composition: shards ARRIVING in a directory →
+    warc_pages_stream → the streaming extract plan → parquet file sink
+    with checkpoint.  Run 1 processes shard 1; shard 2 (the OTHER layout,
+    with wire encodings) arrives; run 2 with the same checkpoint
+    processes ONLY shard 2 — exactly-once across restarts, byte-identical
+    to the reference parse per url."""
+    import os
+
+    from dhtmlparser3_spark.sources.warc import (
+        warc_pages_stream,
+        write_warc_plain,
+    )
+    from dhtmlparser3_spark.streaming.stream_extract import extract_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    batch1 = [(u, d, h, "gzip", None) for (u, d, h) in DOCS[:2]]
+    batch2 = [(DOCS[2][0], DOCS[2][1], DOCS[2][2], None, "chunked")]
+    write_warc_gz(batch1, os.path.join(in_dir, "s1.warc.gz"))
+
+    def run_once():
+        pages = warc_pages_stream(spark, in_dir)
+        q = (
+            extract_stream(pages)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {
+        r.url: r.extracted_text
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(got1) == {u for (u, _d, _h) in DOCS[:2]}
+
+    # second shard arrives — uncompressed layout, chunked payload
+    write_warc_plain(batch2, os.path.join(in_dir, "s2.warc"))
+    run_once()
+    got2 = spark.read.parquet(out_dir).collect()
+    # exactly-once: 3 rows total, not 5 (shard 1 not reprocessed)
+    assert len(got2) == 3
+    for url, _date, html in DOCS:
+        row = next(r for r in got2 if r.url == url)
+        assert row.extracted_text == ref.parse(html.decode()).content_str()
+        assert row.error is None
+
+
 # --- uncompressed .warc layout ------------------------------------------------
 
 
