@@ -65,6 +65,14 @@ malformed framing yields an error ROW (``html`` NULL, ``error`` =
 ``http: ...``) keyed by the record's url/offset, never a silent
 pass-through and never a task failure.
 
+Charset: after wire decoding, each payload's character encoding is
+resolved browser-style (BOM → HTTP ``Content-Type`` charset → ``<meta>``
+prescan of the first 1024 bytes → utf-8; WHATWG sniffing, simplified — see
+the charset section below) and non-UTF-8 payloads are transcoded to UTF-8
+bytes ONCE at this edge, so the ``html`` column is always UTF-8 and every
+downstream decode is correct unchanged.  The ``charset`` column records
+``codec:source`` per row (NULL on error rows).
+
 Reference tie-in: dhtmlparser3 has no I/O beyond ``parse_file``
 (dhtmlparser3/__init__.py:14-23 — whole-file read, encoding arg ignored);
 WARC ingest is pipeline scope on top, and the decoded html bytes flow into
@@ -73,6 +81,8 @@ the byte-identical ``parse → content_str`` path unchanged.
 
 from __future__ import annotations
 
+import codecs
+import re
 import zlib
 from typing import Iterator, List, Optional, Tuple
 
@@ -84,7 +94,7 @@ from pyspark.sql import functions as F
 # not a per-worker Python datetime conversion
 RAW_SCHEMA = (
     "src_file string, rec_offset bigint, url string, warc_date string, "
-    "html binary, error string"
+    "html binary, error string, charset string"
 )
 
 _CRLF2 = b"\r\n\r\n"
@@ -258,19 +268,21 @@ def _decode_coding(body: bytes, coding: bytes) -> bytes:
     )
 
 
-def http_body(block: bytes) -> bytes:
-    """Decoded payload of an HTTP response block: headers stripped,
-    transfer codings removed (``chunked`` + compress codings, applied in
-    reverse of the listed order per RFC 9112), then the content coding
-    (module docstring).  A block that is not an HTTP message passes
-    through (WARC allows raw ``resource`` captures).  Raises ValueError on
-    malformed framing or a coding this module cannot decode — the record
-    loop turns that into an ``http:``-prefixed error row."""
+def http_payload(block: bytes) -> Tuple[bytes, Optional[bytes]]:
+    """Decoded payload of an HTTP response block plus its raw
+    ``Content-Type`` header value (``None`` when the block is not an HTTP
+    message or carries no such header): headers stripped, transfer codings
+    removed (``chunked`` + compress codings, applied in reverse of the
+    listed order per RFC 9112), then the content coding (module
+    docstring).  A block that is not an HTTP message passes through (WARC
+    allows raw ``resource`` captures).  Raises ValueError on malformed
+    framing or a coding this module cannot decode — the record loop turns
+    that into an ``http:``-prefixed error row."""
     if not block.startswith(b"HTTP/"):
-        return block
+        return block, None
     i = block.find(_CRLF2)
     if i < 0:
-        return b""
+        return b"", None
     status_and_headers = block[:i]
     nl = status_and_headers.find(b"\r\n")
     hdr = _http_headers(status_and_headers[nl + 2 :] if nl >= 0 else b"")
@@ -284,7 +296,151 @@ def http_body(block: bytes) -> bytes:
     ce = [c.strip().lower() for c in hdr.get(b"content-encoding", b"").split(b",") if c.strip()]
     for coding in reversed(ce):
         body = _decode_coding(body, coding)
-    return body
+    return body, hdr.get(b"content-type")
+
+
+def http_body(block: bytes) -> bytes:
+    """``http_payload`` without the Content-Type (kept for callers that
+    only need bytes — same decode, same ValueError contract)."""
+    return http_payload(block)[0]
+
+
+# --- charset detection (the decode half of "bytes off the wire") ------------
+#
+# dhtmlparser3's parse() takes a *str* (__init__.py:24-26); parse_file
+# ignores its encoding argument entirely (whole-file read, __init__.py:9-21).
+# Decoding is therefore the PIPELINE's responsibility, and "utf-8 or bust"
+# silently mojibakes the long tail of real captures (windows-1252, cp932,
+# gbk, ... — a large minority of any Common Crawl snapshot).  The ingest
+# edge resolves each record's charset the way a browser does (WHATWG
+# Encoding sniffing, simplified): BOM first, then the HTTP Content-Type
+# ``charset`` parameter, then a prescan of the first 1024 payload bytes for
+# a ``<meta ... charset=...>`` declaration, else utf-8 — and transcodes
+# non-UTF-8 payloads to UTF-8 bytes ONCE, here, so every downstream decode
+# (functions/extract.decode_html) is correct without change.  UTF-8 input
+# (the fast path, most of the web) passes through byte-untouched — the
+# reference's BOM-strip quirk (dom.py len>3) still sees its exact bytes.
+#
+# Simplifications vs the full WHATWG algorithm, on purpose: no
+# chardet-style statistical guessing (deterministic pipelines want
+# declared-or-default, never model-dependent output), and unknown/bogus
+# labels fall back to utf-8-with-replacement (browser behavior) rather
+# than an error row — the resolved ``charset`` column says what happened.
+
+# WHATWG encoding labels → python codecs, for labels whose python name
+# differs or whose WHATWG meaning is a superset (iso-8859-1 IS
+# windows-1252 on the web; shift_jis IS windows-31j/cp932; euc-kr IS
+# windows-949/cp949; big5 includes HKSCS; gb2312 IS gbk).  Labels not in
+# the table (windows-125x, iso-8859-x, koi8-r, ...) resolve through
+# codecs.lookup directly.
+_WHATWG_LABELS = {
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "l1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "cp819": "windows-1252",
+    "cp1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "shift_jis": "cp932",
+    "shift-jis": "cp932",
+    "sjis": "cp932",
+    "x-sjis": "cp932",
+    "ms_kanji": "cp932",
+    "windows-31j": "cp932",
+    "gb2312": "gbk",
+    "gb_2312": "gbk",
+    "gb_2312-80": "gbk",
+    "chinese": "gbk",
+    "csgb2312": "gbk",
+    "iso-ir-58": "gbk",
+    "x-gbk": "gbk",
+    "big5": "big5hkscs",
+    "big5-hkscs": "big5hkscs",
+    "cn-big5": "big5hkscs",
+    "csbig5": "big5hkscs",
+    "euc-kr": "cp949",
+    "korean": "cp949",
+    "ks_c_5601-1987": "cp949",
+    "csksc56011987": "cp949",
+    "iso-ir-149": "cp949",
+    "ksc5601": "cp949",
+    "ksc_5601": "cp949",
+    "windows-949": "cp949",
+    "utf-16": "utf-16",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+    "tis-620": "cp874",
+    "windows-874": "cp874",
+    "dos-874": "cp874",
+    "iso-8859-11": "cp874",
+    "macintosh": "mac-roman",
+    "x-mac-roman": "mac-roman",
+}
+
+# charset parameter inside a Content-Type value (RFC 9110 §8.3.2), and the
+# WHATWG prescan's target inside the first kilobyte of markup — one
+# pattern serves both <meta charset=x> and
+# <meta http-equiv=Content-Type content="text/html; charset=x">
+_CHARSET_PARAM_RE = re.compile(rb'charset\s*=\s*"?\s*([a-zA-Z0-9_.:\-]+)', re.I)
+_META_PRESCAN_BYTES = 1024
+
+
+def _resolve_label(label: bytes) -> Optional[str]:
+    """Charset label bytes → python codec name, or None if unknown."""
+    s = label.decode("ascii", "replace").strip().strip("'\"").lower()
+    codec = _WHATWG_LABELS.get(s, s)
+    try:
+        return codecs.lookup(codec).name
+    except (LookupError, ValueError):
+        return None
+
+
+def detect_charset(
+    body: bytes, content_type: Optional[bytes] = None
+) -> Tuple[str, str]:
+    """(python codec, source) for one payload — source ∈ ``bom`` /
+    ``http`` / ``meta`` / ``default``, precedence in that order (a BOM
+    overrides everything, per WHATWG)."""
+    if body.startswith(codecs.BOM_UTF8):
+        return "utf-8", "bom"
+    if body.startswith(codecs.BOM_UTF16_LE) or body.startswith(
+        codecs.BOM_UTF16_BE
+    ):
+        return "utf-16", "bom"  # python's utf-16 codec consumes the BOM
+    if content_type:
+        m = _CHARSET_PARAM_RE.search(content_type)
+        if m:
+            codec = _resolve_label(m.group(1))
+            if codec:
+                return codec, "http"
+    m = _CHARSET_PARAM_RE.search(body[:_META_PRESCAN_BYTES])
+    if m:
+        codec = _resolve_label(m.group(1))
+        if codec:
+            return codec, "meta"
+    return "utf-8", "default"
+
+
+def transcode_utf8(
+    body: bytes, content_type: Optional[bytes] = None
+) -> Tuple[bytes, str]:
+    """(utf-8 payload bytes, resolved ``charset`` column value
+    ``codec:source``).  UTF-8 input returns the SAME bytes object (zero
+    copy, BOM untouched); anything else decodes with
+    ``errors="replace"`` (browser behavior — a stray bad byte must not
+    cost the document) and re-encodes."""
+    codec, source = detect_charset(body, content_type)
+    if codec == "utf-8":
+        return body, f"utf-8:{source}"
+    return (
+        body.decode(codec, errors="replace").encode("utf-8"),
+        f"{codec}:{source}",
+    )
 
 
 def stream_gzip_members(
@@ -420,30 +576,39 @@ def _iter_record_rows(path: str, members: Iterator[Tuple[int, bytes]]):
         except StopIteration:
             return
         except (zlib.error, OSError) as e:
-            yield (path, -1, None, None, None, f"gzip: {e}")
+            yield (path, -1, None, None, None, f"gzip: {e}", None)
             return
         except WarcStreamError as e:
             # plain-mode boundary loss: same end-this-file policy
-            yield (path, -1, None, None, None, f"warc: {e} (scan ended)")
+            yield (path, -1, None, None, None, f"warc: {e} (scan ended)", None)
             return
         try:
             wtype, url, date, block = parse_warc_record(raw)
         except ValueError as e:
-            yield (path, off, None, None, None, f"warc: {e}")
+            yield (path, off, None, None, None, f"warc: {e}", None)
             continue
         if wtype != "response":
             continue
         try:
-            body = http_body(block)
+            body, ctype = http_payload(block)
         except ValueError as e:
             # WARC headers parsed fine: keep url/date so the error row is
             # lineage-addressable (re-fetchable via read_warc_at)
-            yield (path, off, url, date, None, f"http: {e}")
+            yield (path, off, url, date, None, f"http: {e}", None)
             continue
-        yield (path, off, url, date, body, None)
+        body, charset = transcode_utf8(body, ctype)
+        yield (path, off, url, date, body, None, charset)
 
 
-_OUT_FIELDS = ("src_file", "rec_offset", "url", "warc_date", "html", "error")
+_OUT_FIELDS = (
+    "src_file",
+    "rec_offset",
+    "url",
+    "warc_date",
+    "html",
+    "error",
+    "charset",
+)
 
 
 def _batched_record_batches(row_iters, batch_rows: int):
@@ -460,6 +625,7 @@ def _batched_record_batches(row_iters, batch_rows: int):
         "warc_date": pa.string(),
         "html": pa.binary(),
         "error": pa.string(),
+        "charset": pa.string(),
     }
 
     rows: list = []
@@ -526,7 +692,7 @@ def _stream_arrow_iterator(batch_rows: int):
                         f = open(_local_path(path), "rb")
                     except OSError as e:
                         yield iter(
-                            [(path, -1, None, None, None, f"gzip: {e}")]
+                            [(path, -1, None, None, None, f"gzip: {e}", None)]
                         )
                         continue
                     with f:
@@ -567,6 +733,7 @@ def _with_warc_ts(raw: DataFrame) -> DataFrame:
         ).alias("warc_ts"),
         "html",
         "error",
+        "charset",
     )
 
 
@@ -577,7 +744,9 @@ def read_warc(
     io: str = "content",
 ) -> DataFrame:
     """``.warc.gz`` file(s) → DataFrame
-    ``(src_file, rec_offset, url, warc_ts, html, error)``.
+    ``(src_file, rec_offset, url, warc_ts, html, error, charset)`` —
+    ``html`` is always UTF-8 bytes (module docstring: wire decode, then
+    charset transcode), ``charset`` the resolved ``codec:source``.
 
     ``path`` accepts the usual Hadoop globs (``dir/*.warc.gz``).  Rows with
     ``error IS NULL`` carry one ``response`` record each; ``(src_file,
@@ -627,6 +796,7 @@ def _ranged_arrow_iterator(batch_rows: int):
         "warc_date": pa.string(),
         "html": pa.binary(),
         "error": pa.string(),
+        "charset": pa.string(),
     }
 
     def _member_at(f, offset: int) -> bytes:
@@ -660,13 +830,14 @@ def _ranged_arrow_iterator(batch_rows: int):
         cols: dict = {k: [] for k in out_t}
         cur_path, cur_f = None, None
 
-        def emit(path, off, url, date, html, err):
+        def emit(path, off, url, date, html, err, charset=None):
             cols["src_file"].append(path)
             cols["rec_offset"].append(off)
             cols["url"].append(url)
             cols["warc_date"].append(date)
             cols["html"].append(html)
             cols["error"].append(err)
+            cols["charset"].append(charset)
 
         try:
             for rb in batches:
@@ -696,11 +867,12 @@ def _ranged_arrow_iterator(batch_rows: int):
                              f"fetch: not a response record ({wtype})")
                         continue
                     try:
-                        body = http_body(block)
+                        body, ctype = http_payload(block)
                     except ValueError as e:
                         emit(path, off, url, date, None, f"http: {e}")
                         continue
-                    emit(path, off, url, date, body, None)
+                    body, charset = transcode_utf8(body, ctype)
+                    emit(path, off, url, date, body, None, charset)
                     if len(cols["src_file"]) >= batch_rows:
                         yield pa.RecordBatch.from_arrays(
                             [pa.array(cols[k], out_t[k]) for k in out_t],
@@ -1031,6 +1203,7 @@ def build_warc_record(
     content_encoding: Optional[str] = None,
     transfer_encoding: Optional[str] = None,
     chunk_size: int = 16,
+    charset: Optional[str] = None,
 ) -> bytes:
     """One uncompressed WARC record; ``response`` records wrap the payload
     in a minimal HTTP/1.1 200 message like Common Crawl captures do.
@@ -1042,10 +1215,16 @@ def build_warc_record(
     only, payload verbatim — an encoding the reader must surface as an
     error row, since no brotli codec exists here).  ``transfer_encoding=
     "chunked"`` then applies chunked framing on top (codings nest in that
-    order on a real wire: content coding first, transfer coding last)."""
+    order on a real wire: content coding first, transfer coding last).
+    ``charset`` declares an encoding label on the HTTP Content-Type the
+    way real servers do (``html`` must already be bytes IN that
+    encoding — the writer labels, it never transcodes)."""
     if warc_type == "response":
         wire = html
-        http_hdrs = [b"Content-Type: text/html"]
+        http_ct = b"Content-Type: text/html"
+        if charset is not None:
+            http_ct += b"; charset=%s" % charset.encode("ascii")
+        http_hdrs = [http_ct]
         if content_encoding == "gzip":
             import gzip as _gz
 
@@ -1106,6 +1285,7 @@ def write_warc_plain(records: List[Tuple], path: str) -> List[int]:
                     r[0], r[1], r[2],
                     content_encoding=r[3] if len(r) > 3 else None,
                     transfer_encoding=r[4] if len(r) > 4 else None,
+                    charset=r[5] if len(r) > 5 else None,
                 )
             )
     return offsets
@@ -1117,10 +1297,12 @@ def write_warc_gz(
     extra_members: Optional[List[bytes]] = None,
 ) -> List[int]:
     """Write ``(url, date_iso, html[, content_encoding[, transfer_encoding
-    ]])`` records as a per-record-gzip-member ``.warc.gz`` (the Common
-    Crawl layout).  The optional 4th/5th elements put the payload on the
-    wire encoded (see ``build_warc_record``) — the READER output is the
-    same decoded html either way.  Deterministic: gzip mtime=0, no
+    [, charset]]])`` records as a per-record-gzip-member ``.warc.gz`` (the
+    Common Crawl layout).  The optional 4th/5th elements put the payload
+    on the wire encoded (see ``build_warc_record``) — the READER output is
+    the same decoded html either way; the optional 6th declares a charset
+    label on the HTTP Content-Type (the html bytes must already be in that
+    encoding).  Deterministic: gzip mtime=0, no
     filename field.  Returns each member's byte offset (what the CDX index
     would publish).  ``extra_members`` appends pre-built raw records (e.g.
     a warcinfo, or corrupt bytes for error-path tests), gzipped the same
@@ -1136,6 +1318,7 @@ def write_warc_gz(
             r[0], r[1], r[2],
             content_encoding=r[3] if len(r) > 3 else None,
             transfer_encoding=r[4] if len(r) > 4 else None,
+            charset=r[5] if len(r) > 5 else None,
         )
         for r in records
     ] + list(extra_members or [])

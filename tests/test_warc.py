@@ -838,3 +838,132 @@ def test_read_warc_stream_parity(spark, tmp_path):
     assert "path" in streamed_cols and "content" not in streamed_cols
     # the content mode DOES read the bytes through the JVM
     assert "content" in scan_columns(read_warc(spark, clean, io="content"))
+
+
+# --- charset detection + transcode (the decode half of the wire) -------------
+
+
+def test_detect_charset_precedence_and_labels():
+    """BOM > HTTP charset param > meta prescan > utf-8 default, with the
+    WHATWG label remaps (iso-8859-1 IS windows-1252 on the web, shift_jis
+    IS cp932, gb2312 IS gbk, euc-kr IS cp949)."""
+    from dhtmlparser3_spark.sources.warc import detect_charset
+
+    assert detect_charset(b"\xef\xbb\xbf<p>x</p>") == ("utf-8", "bom")
+    assert detect_charset("x".encode("utf-16")) == ("utf-16", "bom")
+    assert detect_charset(
+        b"<p>x</p>", b"text/html; charset=ISO-8859-1"
+    ) == ("cp1252", "http")
+    assert detect_charset(
+        b'<meta charset="Shift_JIS"><p>x</p>'
+    ) == ("cp932", "meta")
+    assert detect_charset(
+        b'<meta http-equiv=Content-Type content="text/html; charset=gb2312">'
+    ) == ("gbk", "meta")
+    assert detect_charset(b"<p>x</p>", b"text/html; charset=EUC-KR") == (
+        "cp949", "http",
+    )
+    assert detect_charset(b"<p>plain</p>") == ("utf-8", "default")
+    # precedence: a BOM overrides a (wrong) header; a header overrides meta
+    assert detect_charset(
+        b"\xef\xbb\xbf<meta charset=latin1>", b"text/html; charset=gbk"
+    ) == ("utf-8", "bom")
+    assert detect_charset(
+        b"<meta charset=latin1>", b"text/html; charset=gbk"
+    ) == ("gbk", "http")
+    # bogus label falls through to the next source, then default
+    assert detect_charset(
+        b"<p>x</p>", b"text/html; charset=bogus-x"
+    ) == ("utf-8", "default")
+    # a meta declaration PAST the 1024-byte prescan window is not seen
+    far = b"<p>" + b"x" * 1100 + b'</p><meta charset="gbk">'
+    assert detect_charset(far) == ("utf-8", "default")
+
+
+def test_transcode_utf8_passthrough_and_replacement():
+    from dhtmlparser3_spark.sources.warc import transcode_utf8
+
+    raw = "<p>café</p>".encode()
+    out, label = transcode_utf8(raw, b"text/html; charset=utf-8")
+    assert out is raw and label == "utf-8:http"  # zero-copy fast path
+    # utf-8 BOM bytes stay EXACTLY as captured (the reference's own
+    # BOM-strip quirk, dom.py len>3, must see them downstream)
+    bom = b"\xef\xbb\xbf<p>x</p>"
+    out, label = transcode_utf8(bom)
+    assert out is bom and label == "utf-8:bom"
+    # windows-1252 curly quotes become real utf-8
+    w = "<p>“quoted” café</p>".encode("windows-1252")
+    out, label = transcode_utf8(w, b"text/html; charset=iso-8859-1")
+    assert out.decode() == "<p>“quoted” café</p>"
+    assert label == "cp1252:http"
+    # a stray undecodable byte is replaced, never an exception
+    out, label = transcode_utf8(
+        b"<p>ok \x81\x39 broken</p>", b"text/html; charset=Shift_JIS"
+    )
+    assert label == "cp932:http" and "�" in out.decode()
+
+
+def test_read_warc_transcodes_charsets_end_to_end(spark, tmp_path, ref):
+    """Wire→parse correctness for non-UTF-8 captures: declared-charset
+    payloads (HTTP param, meta prescan, utf-16 BOM — stacked under gzip /
+    chunked codings) come out of read_warc as UTF-8 bytes whose extract is
+    byte-identical to the reference parsing the properly decoded text."""
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+
+    texts = {
+        "http://cp1252.example/": "<p>“smart” café &amp; co</p>",
+        "http://sjis.example/": "<div>日本語 <b>x</b></div>",
+        "http://gbk.example/": '<meta charset="gb2312"><p>中文</p>',
+        "http://u16.example/": "<p>русский</p>",
+        "http://plain.example/": "<p>ascii only</p>",
+    }
+    recs = [
+        ("http://cp1252.example/", "2024-01-01T00:00:01Z",
+         texts["http://cp1252.example/"].encode("windows-1252"),
+         "gzip", None, "ISO-8859-1"),
+        ("http://sjis.example/", "2024-01-01T00:00:02Z",
+         texts["http://sjis.example/"].encode("cp932"),
+         None, "chunked", "Shift_JIS"),
+        # meta-declared: no HTTP charset param at all
+        ("http://gbk.example/", "2024-01-01T00:00:03Z",
+         texts["http://gbk.example/"].encode("gbk")),
+        # BOM-declared utf-16 (python's utf-16 codec emits the BOM)
+        ("http://u16.example/", "2024-01-01T00:00:04Z",
+         texts["http://u16.example/"].encode("utf-16")),
+        ("http://plain.example/", "2024-01-01T00:00:05Z",
+         texts["http://plain.example/"].encode()),
+    ]
+    path = str(tmp_path / "charset.warc.gz")
+    write_warc_gz(recs, path)
+
+    rows = {r.url: r for r in read_warc(spark, path).collect()}
+    assert rows["http://cp1252.example/"].charset == "cp1252:http"
+    assert rows["http://sjis.example/"].charset == "cp932:http"
+    assert rows["http://gbk.example/"].charset == "gbk:meta"
+    assert rows["http://u16.example/"].charset == "utf-16:bom"
+    assert rows["http://plain.example/"].charset == "utf-8:default"
+    for url, text in texts.items():
+        assert bytes(rows[url].html).decode("utf-8") == text
+
+    # the random-access path shares the transcode
+    from dhtmlparser3_spark.sources.warc import read_warc_at
+
+    idx = spark.createDataFrame(
+        [(r.src_file, r.rec_offset) for r in rows.values()],
+        "src_file string, rec_offset bigint",
+    )
+    for r in read_warc_at(idx).collect():
+        assert bytes(r.html).decode("utf-8") == texts[r.url]
+        assert r.charset == rows[r.url].charset
+
+    # north star: extract over the transcoded pages is byte-identical to
+    # the reference parsing the decoded text
+    out = extract_pages(
+        warc_pages(spark, path), parallelism=2, with_metrics=False
+    )
+    got = {
+        r.url: r.extracted_text
+        for r in out.select("url", "extracted_text").collect()
+    }
+    for url, text in texts.items():
+        assert got[url] == ref.parse(text).content_str()
