@@ -212,8 +212,11 @@ def _warc_corpus_dir(sf_dir: str) -> str:
     per corpus fingerprint; _ensure_stream_input publishes atomically)."""
     from dhtmlparser3_spark.sources.warc import synthesize_warc_corpus
 
+    # tag carries a synthesis generation (v2 = charset probes) so a cached
+    # rendering from an older synthesizer is never replayed against the
+    # current oracle
     return _ensure_stream_input(
-        _stream_cache_dir(sf_dir, "warc_corpus"),
+        _stream_cache_dir(sf_dir, "warc_corpus_v2"),
         lambda tmp: synthesize_warc_corpus(sf_dir, tmp),
     )
 
@@ -227,7 +230,12 @@ def _q_extract_content_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse → content_str.  The oracle recomputes the expected serialization
     straight from the documents view, so a wrong byte ANYWHERE in
     ingest-decode-parse-serialize hash-mismatches; the br error rows must
-    be filtered by warc_pages without losing neighboring records."""
+    be filtered by warc_pages without losing neighboring records.  The
+    shards also carry the eight CHARSET_PROBES (non-ASCII cp1252/cp932/
+    gbk/cp949/utf-16 captures declared via HTTP label / meta prescan /
+    BOM, stacked under the wire codings) whose constant expected
+    serializations the oracle UNIONs in — so charset resolution and
+    transcode are value-hashed by the driver too."""
     from dhtmlparser3_spark.functions.extract import udf_content_str
     from dhtmlparser3_spark.sources.warc import warc_pages
 
@@ -1569,10 +1577,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _sql_extract(what: str) -> str:
+def _sql_extract(what: str, with_probes: bool = False) -> str:
     from dhtmlparser3_spark.sources.pages import pages_oracle_sql
 
-    return pages_oracle_sql("", what)
+    sql = pages_oracle_sql("", what)
+    if with_probes:
+        # only the WARC-sourced row carries the eight charset probes
+        # (non-ASCII captures in cp1252/cp932/gbk/cp949/utf-16 declared via
+        # HTTP label / meta prescan / BOM) — constant expected values,
+        # reference-parity-pinned in tests/test_warc.py
+        from dhtmlparser3_spark.sources.warc import charset_probe_expected
+
+        vals = ", ".join(
+            "('%s', '%s')" % (u.replace("'", "''"), v.replace("'", "''"))
+            for u, v in charset_probe_expected()
+        )
+        sql = (
+            f"SELECT url, value FROM ({sql}) "
+            f"UNION ALL SELECT url, value FROM (VALUES {vals}) t(url, value)"
+        )
+    return sql
 
 
 def _sql_extract_stats() -> str:
@@ -1977,7 +2001,7 @@ def oracle_sql() -> dict[str, str]:
     # the stream_metrics oracle to recompute n_chars_out closed-form
     case_str = pg.case_over_templates_sql(pg.EXPECTED_CONTENT_STR)
     return {
-        "extract_content_str": _sql_extract("content_str"),
+        "extract_content_str": _sql_extract("content_str", with_probes=True),
         "extract_serializations": _sql_extract_serializations(),
         "extract_errors": """
           WITH base AS (SELECT count(*) AS n FROM documents)

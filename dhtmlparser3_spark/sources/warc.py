@@ -1099,6 +1099,134 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# --- charset probes: driver-oracled non-ASCII captures ----------------------
+#
+# Eight deterministic non-ASCII captures appended to the synthesized corpus
+# (round-robin over shards), each declaring its encoding a different way, so
+# the driver's value-hash on the byte-identity row pins the WHOLE charset
+# tier — HTTP label resolution (with the WHATWG remaps), the meta prescan,
+# BOM precedence (including the reference's mojibake-only BOM-strip quirk:
+# parser.py:26-28 strips the three CHARS "\xef\xbb\xbf", so a real utf-8 BOM
+# decodes to "﻿", survives parse as leading text, and content_str of the
+# multi-child root serializes the WHOLE document — probe 5's expected value
+# encodes exactly that), utf-16 transcode, and the bogus-label utf-8
+# fallback.  Each probe's payload is additionally wire-coded with the same
+# rotation the corpus uses, so charset decode is exercised UNDER
+# transfer/content codings.  Expected serializations are constants, verified
+# against the vendored reference in
+# tests/test_warc.py::test_charset_probes_match_reference.
+#
+# Fields: (mode, declared label, python codec, payload text, expected
+# content_str).  mode ∈ http (Content-Type charset param) / meta (prescan
+# declaration) / bom8 (utf-8 BOM, no label) / bom16 (utf-16 LE BOM, no
+# label).
+CHARSET_PROBES: List[Tuple[str, Optional[str], Optional[str], str, str]] = [
+    (
+        "http", "ISO-8859-1", "cp1252",
+        "café — naïve résumé †™",
+        "<body><p>café — naïve résumé †™</p></body>",
+    ),
+    (
+        "http", "Shift_JIS", "cp932",
+        "日本語のテキストとウェブ文書",
+        "<body><p>日本語のテキストとウェブ文書</p></body>",
+    ),
+    (
+        "http", "gb2312", "gbk",
+        "简体中文网页正文内容",
+        "<body><p>简体中文网页正文内容</p></body>",
+    ),
+    (
+        "http", "EUC-KR", "cp949",
+        "한국어 웹 문서 본문",
+        "<body><p>한국어 웹 문서 본문</p></body>",
+    ),
+    (
+        "meta", "windows-1252", "cp1252",
+        "smart “quotes” €99 – dash",
+        '<head><meta charset="windows-1252" /></head>'
+        "<body><p>smart “quotes” €99 – dash</p></body>",
+    ),
+    (
+        "bom8", None, "utf-8",
+        "büro żółć ✓ bom",
+        "﻿<html><body><p>büro żółć ✓ bom</p></body></html>",
+    ),
+    (
+        "bom16", None, "utf-16",
+        "utf-16 content ✓",
+        "<body><p>utf-16 content ✓</p></body>",
+    ),
+    (
+        "http", "x-bogus-enc", None,
+        "plain ascii fallback",
+        "<body><p>plain ascii fallback</p></body>",
+    ),
+]
+
+
+def _probe_page_html(mode: str, label: Optional[str], text: str) -> str:
+    if mode == "meta":
+        return (
+            f'<html><head><meta charset="{label}"></head>'
+            f"<body><p>{text}</p></body></html>"
+        )
+    return f"<html><body><p>{text}</p></body></html>"
+
+
+def charset_probe_url(i: int) -> str:
+    return f"https://charset.example/p{i}.html"
+
+
+def charset_probe_records() -> List[Tuple[str, bytes]]:
+    """(url, uncompressed WARC record) per probe — payload encoded in the
+    probe's charset, declared per its mode, then wire-coded with the same
+    identity/gzip/chunked/gzip+chunked/raw-deflate rotation the corpus
+    uses (probe index % 5)."""
+    wire = [
+        (None, None),
+        ("gzip", None),
+        (None, "chunked"),
+        ("gzip", "chunked"),
+        ("deflate-raw", None),
+    ]
+    out = []
+    for i, (mode, label, codec, text, _exp) in enumerate(CHARSET_PROBES):
+        html = _probe_page_html(mode, label, text)
+        if mode == "bom8":
+            payload, http_label = codecs.BOM_UTF8 + html.encode(), None
+        elif mode == "bom16":
+            payload, http_label = html.encode("utf-16"), None
+        elif mode == "meta":
+            payload, http_label = html.encode(codec), None
+        else:
+            payload = html.encode(codec) if codec else html.encode()
+            http_label = label
+        ce, te = wire[i % 5]
+        out.append(
+            (
+                charset_probe_url(i),
+                build_warc_record(
+                    charset_probe_url(i),
+                    "2024-01-01T00:00:00Z",
+                    payload,
+                    content_encoding=ce,
+                    transfer_encoding=te,
+                    charset=http_label,
+                ),
+            )
+        )
+    return out
+
+
+def charset_probe_expected() -> List[Tuple[str, str]]:
+    """(url, expected ``content_str``) constants for the driver oracle."""
+    return [
+        (charset_probe_url(i), exp)
+        for i, (_m, _l, _c, _t, exp) in enumerate(CHARSET_PROBES)
+    ]
+
+
 def synthesize_warc_corpus(
     sf_dir: str, dest_dir: str, shards: int = 8
 ) -> List[str]:
@@ -1116,7 +1244,11 @@ def synthesize_warc_corpus(
       value-hash catches;
     * each shard leads with a ``warcinfo`` record (skipped by contract) and
       carries one ``br``-encoded record under a non-corpus url (must become
-      an error row and be FILTERED, not lose neighboring docs).
+      an error row and be FILTERED, not lose neighboring docs);
+    * the eight ``CHARSET_PROBES`` are appended round-robin over shards —
+      non-ASCII captures in cp1252/cp932/gbk/cp949/utf-16 declared via HTTP
+      label, meta prescan, or BOM, stacked under the wire codings, with
+      constant expected serializations the driver oracle UNIONs in.
 
     ``shards`` is the parallelism knob: one ``.warc.gz`` = one binaryFile
     task, exactly like Common Crawl's ~72k-file snapshot layout at 100 TB.
@@ -1171,10 +1303,16 @@ def synthesize_warc_corpus(
             f"https://bad.example/br/{s}", "2024-01-01T00:00:00Z",
             b"<p>brotli-coded</p>", content_encoding="br",
         )
+        probes = [
+            rec
+            for i, (_url, rec) in enumerate(charset_probe_records())
+            if i % shards == s
+        ]
         write_warc_gz(
             [], path,
             extra_members=[
-                _gz.compress(m, mtime=0) for m in [info] + recs + [bad]
+                _gz.compress(m, mtime=0)
+                for m in [info] + recs + probes + [bad]
             ],
         )
         paths.append(path)

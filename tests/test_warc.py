@@ -344,11 +344,22 @@ def test_synthesize_warc_corpus_matches_build_pages(spark, tmp_path):
     }
     raw = read_warc(spark, glob).collect()
     errs = [r for r in raw if r.error is not None]
-    ok = [r for r in raw if r.error is None]
+    probes = [
+        r for r in raw
+        if r.error is None and r.url.startswith("https://charset.example/")
+    ]
+    ok = [
+        r for r in raw
+        if r.error is None and not r.url.startswith("https://charset.example/")
+    ]
     # one br record per shard, each a lineage-addressable http error row
     assert len(errs) == 4
     assert all(e.error == "http: unsupported coding 'br'" for e in errs)
     assert all(e.url.startswith("https://bad.example/br/") for e in errs)
+    # all eight charset probes present, transcoded to valid utf-8
+    assert len(probes) == 8
+    for p in probes:
+        bytes(p.html).decode("utf-8")  # strict — transcode produced utf-8
     got = {r.url: (bytes(r.html), r.warc_ts) for r in ok}
     assert got == want  # byte-identical html AND timestamps, every url
 
@@ -967,3 +978,64 @@ def test_read_warc_transcodes_charsets_end_to_end(spark, tmp_path, ref):
     }
     for url, text in texts.items():
         assert got[url] == ref.parse(text).content_str()
+
+
+def test_charset_probes_match_reference(spark, tmp_path):
+    """The CHARSET_PROBES expected constants ARE the vendored reference's
+    content_str of the pipeline-decoded payloads (differential, per
+    declaration mode), and the full Spark path — synthesized shards →
+    read_warc → charset transcode → extract — reproduces them byte-exactly.
+    Probe 5 pins the reference's mojibake-only BOM-strip quirk
+    (parser.py:26-28 strips the CHARS '\\xef\\xbb\\xbf', never '\\ufeff'):
+    a real utf-8 BOM survives as leading text and content_str serializes
+    the whole multi-child root, <html> wrapper included."""
+    import dhtmlparser3 as ref
+
+    from dhtmlparser3_spark.functions.extract import decode_html
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+    from dhtmlparser3_spark.sources.warc import (
+        CHARSET_PROBES,
+        charset_probe_expected,
+        charset_probe_records,
+        read_warc,
+        warc_pages,
+        write_warc_gz,
+    )
+
+    # (1) constants vs the reference, straight through parse_warc_record +
+    # http_payload + transcode (the exact worker decode path)
+    import gzip as _gz
+
+    path = str(tmp_path / "probes.warc.gz")
+    write_warc_gz(
+        [], path,
+        extra_members=[
+            _gz.compress(rec, mtime=0) for _url, rec in charset_probe_records()
+        ],
+    )
+    rows = {r.url: r for r in read_warc(spark, path).collect()}
+    assert len(rows) == len(CHARSET_PROBES)
+    expected = dict(charset_probe_expected())
+    for url, exp in expected.items():
+        decoded = decode_html(bytes(rows[url].html))
+        assert ref.parse(decoded).content_str() == exp, url
+    # declared sources resolved as designed (http / meta / bom / fallback)
+    srcs = {u: rows[u].charset for u in expected}
+    assert srcs["https://charset.example/p0.html"] == "cp1252:http"
+    assert srcs["https://charset.example/p1.html"] == "cp932:http"
+    assert srcs["https://charset.example/p2.html"] == "gbk:http"
+    assert srcs["https://charset.example/p3.html"] == "cp949:http"
+    assert srcs["https://charset.example/p4.html"] == "cp1252:meta"
+    assert srcs["https://charset.example/p5.html"] == "utf-8:bom"
+    assert srcs["https://charset.example/p6.html"] == "utf-16:bom"
+    assert srcs["https://charset.example/p7.html"] == "utf-8:default"
+
+    # (2) end-to-end through the product extraction operator
+    out = extract_pages(
+        warc_pages(spark, path), parallelism=2, with_metrics=False
+    )
+    got = {
+        r.url: r.extracted_text
+        for r in out.select("url", "extracted_text").collect()
+    }
+    assert got == expected
