@@ -1039,3 +1039,49 @@ def test_charset_probes_match_reference(spark, tmp_path):
         for r in out.select("url", "extracted_text").collect()
     }
     assert got == expected
+
+
+def test_transcode_utf8_property():
+    """Hypothesis over ARBITRARY payload bytes × ARBITRARY declared labels:
+    transcode never raises; when the resolved codec is utf-8 the payload
+    passes through as the SAME object (zero copy — downstream decode owns
+    replacement); for every other codec the output decodes as STRICT utf-8
+    (the 'html column is always utf-8' contract) and equals the local
+    decode-replace/re-encode model; the charset column value always names
+    a real codec and one of the four sources."""
+    import codecs as _codecs
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dhtmlparser3_spark.sources.warc import transcode_utf8
+
+    labels = st.sampled_from(
+        [None, b"utf-8", b"ISO-8859-1", b"latin1", b"Shift_JIS", b"gb2312",
+         b"EUC-KR", b"big5", b"utf-16", b"utf-16le", b"windows-874",
+         b"x-bogus-enc", b"charset", b"''", b"\xff\xfe"]
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(payload=st.binary(min_size=0, max_size=512), label=labels)
+    def check(payload, label):
+        ct = None if label is None else b"text/html; charset=" + label
+        out, tag = transcode_utf8(payload, ct)
+        codec, _, source = tag.partition(":")
+        assert source in ("bom", "http", "meta", "default")
+        assert _codecs.lookup(codec)  # always a real codec name
+        if codec == "utf-8":
+            assert out is payload  # zero-copy, bytes reach parse untouched
+        else:
+            # strict: the html column contract is valid utf-8, always
+            text = out.decode("utf-8")
+            assert text == payload.decode(codec, errors="replace")
+        # idempotence of the edge: a second pass with NO declaration sees
+        # utf-8 (bom or default) and must not rewrite the bytes — except a
+        # payload that ITSELF begins with a utf-16 BOM, which a second pass
+        # would legitimately re-route through the BOM branch
+        if not out.startswith((b"\xff\xfe", b"\xfe\xff")):
+            out2, _tag2 = transcode_utf8(out)
+            assert out2 is out
+
+    check()
