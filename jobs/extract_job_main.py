@@ -47,6 +47,13 @@ def main() -> int:
     )
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
+    ap.add_argument(
+        "--wet-output",
+        help="additionally publish the extracted text as Common-Crawl WET "
+        "shards (.warc.wet.gz, sources/wet.py) in this directory — the "
+        "parquet --output stays the resumable table of record; WET is "
+        "the interchange rendering a stock snapshot consumer reads",
+    )
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--max-buckets", type=int, default=None)
     ap.add_argument("--multiplier", type=int, default=1)
@@ -81,6 +88,18 @@ def main() -> int:
     )
     bad = verify_run(spark, args.output, args.lineage).count()
     result["digest_mismatches"] = bad
+    if args.wet_output:
+        from pyspark.sql import functions as F
+
+        from dhtmlparser3_spark.sources.wet import write_wet
+
+        extracted = spark.read.parquet(args.output).where(
+            F.col("error").isNull()
+        )
+        manifest = write_wet(extracted, args.wet_output).collect()
+        result["wet_shards"] = len(manifest)
+        result["wet_records"] = sum(m.records for m in manifest)
+        result["wet_bytes"] = sum(m.bytes for m in manifest)
     print(json.dumps(result))
     spark.stop()
     return 0 if bad == 0 else 1

@@ -112,6 +112,7 @@ def test_spark_submit_warc_input(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
 
     out_dir, lineage = str(tmp_path / "out"), str(tmp_path / "lineage")
+    wet_dir = str(tmp_path / "wet")
     cmd = [
         submit,
         "--master", "local[4]",
@@ -123,6 +124,7 @@ def test_spark_submit_warc_input(tmp_path):
         "--output", out_dir,
         "--lineage", lineage,
         "--buckets", "4",
+        "--wet-output", wet_dir,
     ]
 
     def run():
@@ -136,8 +138,41 @@ def test_spark_submit_warc_input(tmp_path):
 
     first = run()
     assert first["processed"] == 4 and first["digest_mismatches"] == 0
+    assert first["wet_records"] == 24 and first["wet_shards"] >= 1
     second = run()  # resume: all buckets committed
     assert second["skipped"] == 4 and second["digest_mismatches"] == 0
+
+    # the published WET shards round-trip the extracted table exactly —
+    # the full Common Crawl loop (.warc.gz in → .warc.wet.gz out) through
+    # the packaged entrypoint
+    import glob as _glob
+
+    import duckdb
+
+    want = {
+        (r[0], r[1])
+        for r in duckdb.sql(
+            "SELECT url, extracted_text FROM "
+            f"read_parquet('{out_dir}/**/*.parquet') WHERE error IS NULL"
+        ).fetchall()
+    }
+    got = set()
+    from dhtmlparser3_spark.sources.warc import parse_warc_record
+    from dhtmlparser3_spark.sources.wet import build_wet_record  # noqa: F401
+    import gzip as _gz
+    import zlib as _zlib
+
+    for shard in _glob.glob(os.path.join(wet_dir, "*.warc.wet.gz")):
+        data = open(shard, "rb").read()
+        pos = 0
+        while pos < len(data):
+            d = _zlib.decompressobj(wbits=31)
+            raw = d.decompress(data[pos:])
+            pos = len(data) - len(d.unused_data)
+            wtype, url, _date, block = parse_warc_record(raw)
+            if wtype == "conversion":
+                got.add((url, block.decode("utf-8")))
+    assert got == want and len(got) == 24
 
     import duckdb
 
