@@ -112,34 +112,39 @@ def build_wet_record(
 _WARCINFO_BODY = b"software: dhtmlparser3_spark write_wet\r\nformat: WARC File Format 1.0\r\n"
 
 
-def _write_shard(path: str, rows: Iterator[Tuple[str, str, str]]) -> Tuple[int, int]:
-    """Stream (url, date_iso, text) rows into one ``.warc.wet.gz`` shard —
-    per-record gzip members, leading warcinfo, O(one record) memory,
-    atomic publish via rename.  Returns (record_count, byte_count) for
-    the manifest (count excludes the warcinfo lead — it counts DOCUMENTS,
-    matching the input row count)."""
+def write_record_shard(
+    path: str, lead: bytes, members: Iterator[bytes]
+) -> Tuple[int, int]:
+    """Stream pre-built WARC records into one per-record-gzip shard —
+    leading ``lead`` record, O(one record) memory, atomic publish via
+    rename.  Returns (record_count, byte_count); the count excludes the
+    lead (it counts DOCUMENTS).  Shared by the WET and WAT sinks so the
+    layout/atomicity contract cannot diverge."""
     tmp = path + ".inprogress"
     n = 0
     with open(tmp, "wb") as f:
-        f.write(
-            gzip.compress(
-                build_wet_record(
-                    "", "2024-01-01T00:00:00Z", _WARCINFO_BODY, "warcinfo"
-                ),
-                mtime=0,
-            )
-        )
-        for url, date_iso, text in rows:
-            f.write(
-                gzip.compress(
-                    build_wet_record(url, date_iso, text.encode("utf-8")),
-                    mtime=0,
-                )
-            )
+        f.write(gzip.compress(lead, mtime=0))
+        for m in members:
+            f.write(gzip.compress(m, mtime=0))
             n += 1
         size = f.tell()
     os.replace(tmp, path)
     return n, size
+
+
+def _write_shard(path: str, rows: Iterator[Tuple[str, str, str]]) -> Tuple[int, int]:
+    """(url, date_iso, text) rows → one ``.warc.wet.gz`` shard."""
+    lead = build_wet_record(
+        "", "2024-01-01T00:00:00Z", _WARCINFO_BODY, "warcinfo"
+    )
+    return write_record_shard(
+        path,
+        lead,
+        (
+            build_wet_record(url, date_iso, text.encode("utf-8"))
+            for url, date_iso, text in rows
+        ),
+    )
 
 
 def write_wet(
@@ -239,30 +244,27 @@ def _iter_wet_rows(path: str, members: Iterator[Tuple[int, bytes]]):
         yield (path, off, url, date, block.decode("utf-8", "replace"), None)
 
 
-def read_wet(
+def scan_record_files(
     spark: SparkSession,
     path: str,
+    io: str,
+    make_rows,
+    schema: str,
+    arrow_types,
     batch_rows: int = 2048,
-    io: str = "content",
 ) -> DataFrame:
-    """WET file(s) → ``(src_file, rec_offset, url, wet_ts, text, error)``.
-
-    Mirrors ``read_warc``: both on-disk layouts auto-detected per file
-    (per-record gzip members / uncompressed), Hadoop globs accepted,
-    ``io="stream"`` for O(batch) worker memory, ``(src_file, rec_offset)``
-    the replayable lineage key, error rows per the shared policy."""
+    """Generic WARC-layout record scan shared by the WET and WAT readers:
+    binaryFile over ``path`` (both on-disk layouts auto-detected per
+    file), ``make_rows(path, member_iter)`` turning members into row
+    tuples matching ``schema``/``arrow_types``, ``io`` as in
+    ``read_warc`` (``"stream"`` = path-only scan + incremental
+    decompress, O(batch) worker memory).  An unopenable file in stream
+    mode yields the row ``make_rows`` produces for an immediately-failing
+    member iterator (the shared end-this-file policy)."""
     assert io in ("content", "stream"), io
     import pyarrow as pa
 
-    out_t = {
-        "src_file": pa.string(),
-        "rec_offset": pa.int64(),
-        "url": pa.string(),
-        "warc_date": pa.string(),
-        "text": pa.string(),
-        "error": pa.string(),
-    }
-    fields = list(out_t)
+    fields = list(arrow_types)
 
     def _batched(row_iters):
         rows: list = []
@@ -270,7 +272,7 @@ def read_wet(
         def _flush():
             rb = pa.RecordBatch.from_arrays(
                 [
-                    pa.array([r[i] for r in rows], out_t[k])
+                    pa.array([r[i] for r in rows], arrow_types[k])
                     for i, k in enumerate(fields)
                 ],
                 fields,
@@ -286,6 +288,13 @@ def read_wet(
         if rows:
             yield _flush()
 
+    def _failing(e):
+        def gen():
+            raise OSError(e)
+            yield  # pragma: no cover
+
+        return gen()
+
     def run_content(batches):
         def row_iters():
             for rb in batches:
@@ -300,7 +309,7 @@ def read_wet(
                         if data[:2] == _GZ_MAGIC
                         else split_warc_plain(data)
                     )
-                    yield _iter_wet_rows(p, members)
+                    yield make_rows(p, members)
 
         yield from _batched(row_iters())
 
@@ -313,7 +322,7 @@ def read_wet(
                     try:
                         f = open(_local_path(p), "rb")
                     except OSError as e:
-                        yield iter([(p, -1, None, None, None, f"gzip: {e}")])
+                        yield make_rows(p, _failing(str(e)))
                         continue
                     with f:
                         magic = f.read(2)
@@ -323,17 +332,41 @@ def read_wet(
                             if magic == _GZ_MAGIC
                             else stream_warc_plain(f)
                         )
-                        yield _iter_wet_rows(p, members)
+                        yield make_rows(p, members)
 
         yield from _batched(row_iters())
 
     files = spark.read.format("binaryFile").load(path)
     if io == "stream":
-        raw = files.select("path").mapInArrow(run_stream, WET_SCHEMA)
-    else:
-        raw = files.select("path", "content").mapInArrow(
-            run_content, WET_SCHEMA
-        )
+        return files.select("path").mapInArrow(run_stream, schema)
+    return files.select("path", "content").mapInArrow(run_content, schema)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 2048,
+    io: str = "content",
+) -> DataFrame:
+    """WET file(s) → ``(src_file, rec_offset, url, wet_ts, text, error)``.
+
+    Mirrors ``read_warc``: both on-disk layouts auto-detected per file
+    (per-record gzip members / uncompressed), Hadoop globs accepted,
+    ``io="stream"`` for O(batch) worker memory, ``(src_file, rec_offset)``
+    the replayable lineage key, error rows per the shared policy."""
+    import pyarrow as pa
+
+    out_t = {
+        "src_file": pa.string(),
+        "rec_offset": pa.int64(),
+        "url": pa.string(),
+        "warc_date": pa.string(),
+        "text": pa.string(),
+        "error": pa.string(),
+    }
+    raw = scan_record_files(
+        spark, path, io, _iter_wet_rows, WET_SCHEMA, out_t, batch_rows
+    )
     return raw.select(
         "src_file",
         "rec_offset",
