@@ -244,6 +244,43 @@ def _iter_wet_rows(path: str, members: Iterator[Tuple[int, bytes]]):
         yield (path, off, url, date, block.decode("utf-8", "replace"), None)
 
 
+def start_wet_sink(
+    pages_stream: DataFrame,
+    dest_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    **extract_kwargs,
+):
+    """Streaming twin of the batch ``extract → write_wet`` composition:
+    ``warc_pages_stream`` (arriving ``.warc.gz`` shards) → foreachBatch
+    reusing the FULL batch extract job → WET shards per epoch.  Returns
+    the started query.
+
+    Exactly-once story: foreachBatch is AT-LEAST-ONCE (an epoch replays
+    after a crash), but this sink is idempotent under replay — shard
+    names are ``epoch-<id>-<pid>`` (epoch ids are checkpointed and never
+    reused for new data), bytes are deterministic per input partition,
+    and the atomic-rename publish means a replayed epoch overwrites its
+    own shards with identical content rather than duplicating records.
+    Composed end-to-end this is the streaming Common Crawl loop: a live
+    crawl's WARC drop directory in, WET shards out, resumable at the
+    checkpoint."""
+    from dhtmlparser3_spark.pipeline.extract_job import extract_pages
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        ext = extract_pages(
+            batch_df, with_metrics=False, **extract_kwargs
+        ).select("url", "warc_ts", "extracted_text")
+        write_wet(ext, dest_dir, prefix=f"epoch-{epoch_id:05d}").collect()
+
+    writer = pages_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def scan_record_files(
     spark: SparkSession,
     path: str,

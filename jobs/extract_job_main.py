@@ -54,6 +54,13 @@ def main() -> int:
         "parquet --output stays the resumable table of record; WET is "
         "the interchange rendering a stock snapshot consumer reads",
     )
+    ap.add_argument(
+        "--wat-output",
+        help="additionally publish per-capture metadata (title + outlinks) "
+        "as Common-Crawl WAT shards (.warc.wat.gz, sources/wat.py) — "
+        "computed from the pages input in its own one-parse map-only "
+        "pass (wat_metadata)",
+    )
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--max-buckets", type=int, default=None)
     ap.add_argument("--multiplier", type=int, default=1)
@@ -100,6 +107,13 @@ def main() -> int:
         result["wet_shards"] = len(manifest)
         result["wet_records"] = sum(m.records for m in manifest)
         result["wet_bytes"] = sum(m.bytes for m in manifest)
+    if args.wat_output:
+        from dhtmlparser3_spark.sources.wat import wat_metadata, write_wat
+
+        manifest = write_wat(wat_metadata(pages), args.wat_output).collect()
+        result["wat_shards"] = len(manifest)
+        result["wat_records"] = sum(m.records for m in manifest)
+        result["wat_bytes"] = sum(m.bytes for m in manifest)
     print(json.dumps(result))
     spark.stop()
     return 0 if bad == 0 else 1

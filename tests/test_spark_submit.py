@@ -112,7 +112,7 @@ def test_spark_submit_warc_input(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
 
     out_dir, lineage = str(tmp_path / "out"), str(tmp_path / "lineage")
-    wet_dir = str(tmp_path / "wet")
+    wet_dir, wat_dir = str(tmp_path / "wet"), str(tmp_path / "wat")
     cmd = [
         submit,
         "--master", "local[4]",
@@ -125,6 +125,7 @@ def test_spark_submit_warc_input(tmp_path):
         "--lineage", lineage,
         "--buckets", "4",
         "--wet-output", wet_dir,
+        "--wat-output", wat_dir,
     ]
 
     def run():
@@ -139,6 +140,7 @@ def test_spark_submit_warc_input(tmp_path):
     first = run()
     assert first["processed"] == 4 and first["digest_mismatches"] == 0
     assert first["wet_records"] == 24 and first["wet_shards"] >= 1
+    assert first["wat_records"] == 24 and first["wat_shards"] >= 1
     second = run()  # resume: all buckets committed
     assert second["skipped"] == 4 and second["digest_mismatches"] == 0
 

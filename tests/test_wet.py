@@ -208,3 +208,61 @@ def test_read_wet_skips_warc_responses(spark, tmp_path):
         [("http://a/", "2024-01-01T00:00:00Z", b"<p>x</p>")], p
     )
     assert read_wet(spark, p).collect() == []
+
+
+# --- streaming composition: live WARC drop → WET shards ------------------------
+
+
+def test_streaming_warc_to_wet_exactly_once(spark, tmp_path):
+    """The streaming Common Crawl loop: .warc.gz shards ARRIVING in a drop
+    directory → warc_pages_stream → foreachBatch batch extract →
+    epoch-named WET shards.  Run 1 publishes shard 1's docs; shard 2
+    arrives; run 2 on the same checkpoint publishes ONLY the new docs
+    (no re-publish, no duplicates), and read_wet over everything matches
+    the reference parse per url."""
+    import sys
+
+    from dhtmlparser3_spark.sources.warc import (
+        warc_pages_stream,
+        write_warc_gz,
+    )
+    from dhtmlparser3_spark.sources.wet import read_wet, start_wet_sink
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        import dhtmlparser3 as ref
+    finally:
+        sys.path.pop(0)
+
+    docs = [
+        ("http://s1.example/a", "2024-01-01T00:00:00Z",
+         b"<div id=a>alpha &amp; beta</div>", "gzip", None),
+        ("http://s1.example/b", "2024-01-01T00:00:01Z",
+         "<p>café</p>".encode(), None, "chunked"),
+        ("http://s2.example/c", "2024-01-01T00:00:02Z",
+         b"<b>late arrival", None, None),
+    ]
+    in_dir, wet_dir = tmp_path / "in", str(tmp_path / "wet")
+    ck = str(tmp_path / "ck")
+    in_dir.mkdir()
+    write_warc_gz(docs[:2], str(in_dir / "s1.warc.gz"))
+
+    def run_once():
+        q = start_wet_sink(
+            warc_pages_stream(spark, str(in_dir)), wet_dir, ck
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    glob = os.path.join(wet_dir, "*.warc.wet.gz")
+    got1 = {r.url: r.text for r in read_wet(spark, glob).collect()}
+    assert set(got1) == {u for (u, *_rest) in docs[:2]}
+
+    write_warc_gz([docs[2]], str(in_dir / "s2.warc.gz"))
+    run_once()
+    rows = read_wet(spark, glob).collect()
+    assert len(rows) == 3  # exactly-once: no re-publish of shard 1
+    for url, _d, html, *_enc in docs:
+        row = next(r for r in rows if r.url == url)
+        assert row.text == ref.parse(html.decode()).content_str()
+        assert row.error is None
