@@ -90,11 +90,11 @@ def page_metadata(html: str) -> Tuple[Optional[str], List[Tuple[str, str]]]:
     return title, links
 
 
-def wat_metadata(pages: DataFrame) -> DataFrame:
-    """pages(url, warc_ts, html, ...) → ``META_SCHEMA`` rows: ONE parse
-    per page, map-only (zero exchanges — pinned), the extract tier's
-    error policy (a poison page yields an error ROW keyed by url, never
-    a task failure)."""
+def make_wat_iterator(max_slice_bytes: int | None = None):
+    """Build the mapInArrow fn behind ``wat_metadata``: batches of
+    ``(url, warc_ts, html)`` → batches of ``META_SCHEMA``.  Exposed so
+    the byte-slice discipline is testable without Spark (the extract
+    tier's ``make_extract_arrow_iterator`` pattern)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -103,6 +103,8 @@ def wat_metadata(pages: DataFrame) -> DataFrame:
         byte_slices,
         decode_html,
     )
+
+    bound = _WORKER_BATCH_BYTES if max_slice_bytes is None else max_slice_bytes
 
     link_t = pa.list_(
         pa.struct([("url", pa.string()), ("text", pa.string())])
@@ -117,7 +119,7 @@ def wat_metadata(pages: DataFrame) -> DataFrame:
             # as Python strings simultaneously
             sizes = pc.binary_length(whole.column(idx)).to_pylist()
             for start, length in byte_slices(
-                [s or 0 for s in sizes], _WORKER_BATCH_BYTES
+                [s or 0 for s in sizes], bound
             ) or [(0, 0)]:
                 rb = (
                     whole
@@ -149,8 +151,20 @@ def wat_metadata(pages: DataFrame) -> DataFrame:
                     ["url", "warc_ts", "title", "links", "error"],
                 )
 
+    return run
+
+
+def wat_metadata(
+    pages: DataFrame, max_slice_bytes: int | None = None
+) -> DataFrame:
+    """pages(url, warc_ts, html, ...) → ``META_SCHEMA`` rows: ONE parse
+    per page, map-only (zero exchanges — pinned), the extract tier's
+    error policy (a poison page yields an error ROW keyed by url, never
+    a task failure).  Worker memory is byte-bounded: each Arrow batch is
+    processed in ``max_slice_bytes`` runs (default the extract tier's
+    64 MiB) so giant pages never unbox simultaneously."""
     return pages.select("url", "warc_ts", "html").mapInArrow(
-        run, META_SCHEMA
+        make_wat_iterator(max_slice_bytes), META_SCHEMA
     )
 
 

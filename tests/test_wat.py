@@ -207,3 +207,46 @@ def test_read_wat_error_policy(spark, tmp_path):
     assert len(errs) == 2
     assert errs[0].startswith("gzip: ")  # truncated member ended the file
     assert errs[1].startswith("wat: ")  # bad envelope continued the scan
+
+
+def test_wat_giant_docs_byte_bounded_slicing():
+    """Multi-MB pages through make_wat_iterator with a small slice bound
+    must be processed in MULTIPLE output batches (worker never unboxes
+    every page at once) and each batch's metadata must equal the
+    pure-python page_metadata on the same html."""
+    import pyarrow as pa
+
+    from dhtmlparser3_spark.sources.wat import make_wat_iterator
+
+    unit = '<li><a href="/deep/page">anchor &amp; text</a>' + "z" * 300 + "</li>"
+    reps = (2 << 20) // len(unit.encode()) + 1
+    htmls = [
+        f"<html><head><title>giant {i}</title></head><body><ul>"
+        + unit * reps
+        + "</ul></body></html>"
+        for i in range(6)
+    ]
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"https://g.example/{i}" for i in range(6)], pa.string()),
+            pa.array([None] * 6, pa.timestamp("us")),
+            pa.array([h.encode() for h in htmls], pa.binary()),
+        ],
+        ["url", "warc_ts", "html"],
+    )
+    out = list(make_wat_iterator(max_slice_bytes=4 << 20)(iter([rb])))
+    assert len(out) >= 3, f"expected >=3 byte-bounded slices, got {len(out)}"
+    got = []
+    for b in out:
+        urls = b.column(0).to_pylist()
+        titles = b.column(2).to_pylist()
+        links = b.column(3).to_pylist()
+        errs = b.column(4).to_pylist()
+        got.extend(zip(urls, titles, links, errs))
+    assert [g[0] for g in got] == [f"https://g.example/{i}" for i in range(6)]
+    for i, (_, title, links, err) in enumerate(got):
+        want_title, want_links = page_metadata(htmls[i])
+        assert err is None
+        assert title == want_title == f"giant {i}"
+        assert [(l["url"], l["text"]) for l in links] == want_links
+        assert len(links) == reps
