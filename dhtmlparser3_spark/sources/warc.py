@@ -443,13 +443,16 @@ def transcode_utf8(
     )
 
 
-def stream_gzip_members(
+def stream_gzip_extents(
     f, chunk_bytes: int = 1 << 20
-) -> Iterator[Tuple[int, bytes]]:
-    """``split_gzip_members`` over a FILE OBJECT: holds only the current
-    member's decompressed bytes + one ``chunk_bytes`` read buffer, never
-    the whole compressed shard.  Same offsets, same payloads, same
-    mid-iteration ``zlib.error`` on a truncated member."""
+) -> Iterator[Tuple[int, int, bytes]]:
+    """``stream_gzip_members`` plus the member's exact COMPRESSED byte
+    extent: yields ``(offset, length, decompressed_bytes)`` where
+    ``offset``/``length`` are what a CDX index publishes for the record
+    (a ranged fetch of exactly those bytes is one whole gzip member).
+    Holds only the current member's decompressed bytes + one
+    ``chunk_bytes`` read buffer, never the whole compressed shard.
+    Raises ``zlib.error`` mid-iteration on a truncated member."""
     pos = 0  # absolute compressed offset of the current member's start
     buf = b""  # compressed bytes read past the previous member's end
     while True:
@@ -467,9 +470,20 @@ def stream_gzip_members(
             out.append(d.decompress(chunk))
             fed += len(chunk)
         consumed = fed - len(d.unused_data)
-        yield pos, b"".join(out)
+        yield pos, consumed, b"".join(out)
         pos += consumed
         buf = d.unused_data
+
+
+def stream_gzip_members(
+    f, chunk_bytes: int = 1 << 20
+) -> Iterator[Tuple[int, bytes]]:
+    """``split_gzip_members`` over a FILE OBJECT: holds only the current
+    member's decompressed bytes + one ``chunk_bytes`` read buffer, never
+    the whole compressed shard.  Same offsets, same payloads, same
+    mid-iteration ``zlib.error`` on a truncated member."""
+    for pos, _length, raw in stream_gzip_extents(f, chunk_bytes):
+        yield pos, raw
 
 
 def _plain_record_extent(buf: bytes, pos: int) -> Tuple[int, int]:
@@ -1009,18 +1023,27 @@ def warc_pages_stream(spark: SparkSession, path: str) -> DataFrame:
 # would be handed.
 
 
+def surt_key(url: str) -> str:
+    """Minimal SURT transform of a url — the CDX sort key: host reversed
+    comma-joined (lowercased by urlsplit), scheme dropped, then path and
+    query.  Matching CC's index ordering contract: all captures of a host
+    sort together, subdomains after their parent."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    host = ",".join(reversed((parts.hostname or "").split(".")))
+    path = parts.path or "/"
+    return host + ")" + path + (("?" + parts.query) if parts.query else "")
+
+
 def cdx_line(
     url: str, ts14: str, filename: str, offset: int, length: int
 ) -> str:
     """One CDXJ line the way Common Crawl's index writes it (urlkey via a
     minimal SURT transform: host reversed, scheme dropped)."""
     import json as _json
-    from urllib.parse import urlsplit
 
-    parts = urlsplit(url)
-    host = ",".join(reversed((parts.hostname or "").split(".")))
-    path = parts.path or "/"
-    urlkey = host + ")" + path + (("?" + parts.query) if parts.query else "")
+    urlkey = surt_key(url)
     payload = {
         "url": url,
         "filename": filename,
@@ -1097,6 +1120,148 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
         "src_file string, rec_offset bigint, url string, "
         "cdx_ts string, rec_length bigint",
     )
+
+
+INDEX_SCHEMA = (
+    "src_file string, rec_offset bigint, rec_length bigint, "
+    "url string, warc_date string, error string"
+)
+
+
+def _iter_index_rows(path: str, extents):
+    """Extent iterator → INDEX_SCHEMA row tuples.  WARC headers only —
+    an indexer reads framing, never HTTP payloads, so indexing a shard
+    costs decompression + header splits, not parse/transcode.  Shared
+    error policy: corrupt member / boundary loss → one error row, end
+    THIS file; malformed record → error row, continue; non-``response``
+    records skip (CC's index covers captures, not request/metadata)."""
+    while True:
+        try:
+            off, length, raw = next(extents)
+        except StopIteration:
+            return
+        except (zlib.error, OSError) as e:
+            yield (path, -1, None, None, None, f"gzip: {e}")
+            return
+        except WarcStreamError as e:
+            yield (path, -1, None, None, None, f"warc: {e} (scan ended)")
+            return
+        try:
+            wtype, url, date, _block = parse_warc_record(raw)
+        except ValueError as e:
+            yield (path, off, length, None, None, f"warc: {e}")
+            continue
+        if wtype != "response":
+            continue
+        yield (path, off, length, url, date, None)
+
+
+def index_warc(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 8192,
+    io: str = "content",
+) -> DataFrame:
+    """``.warc(.gz)`` file(s) → the CDX index table ``(src_file,
+    rec_offset, rec_length, url, warc_date, error)``: one row per
+    ``response`` record carrying its exact on-disk byte extent — the
+    (filename, offset, length) triple CC's index publishes and ranged
+    fetchers consume.  Map-only over shards (one task per file, bytes
+    never shuffle); headers-only, so it is the cheap pass that makes a
+    crawl randomly addressable BEFORE anyone pays for parsing."""
+    import pyarrow as pa
+
+    from .wet import scan_record_files
+
+    out_t = {
+        "src_file": pa.string(),
+        "rec_offset": pa.int64(),
+        "rec_length": pa.int64(),
+        "url": pa.string(),
+        "warc_date": pa.string(),
+        "error": pa.string(),
+    }
+    return scan_record_files(
+        spark, path, io, _iter_index_rows, INDEX_SCHEMA, out_t,
+        batch_rows, extents=True,
+    )
+
+
+def cdx_lines(index: DataFrame, shards: int = 4) -> DataFrame:
+    """Index table → one-column ``(line)`` DataFrame of CDXJ lines in
+    GLOBAL sort order: ``repartitionByRange`` on the SURT urlkey makes
+    shard N's every key ≤ shard N+1's (CC's sorted-shard contract — a
+    consumer binary-searches the shard list, then one shard), and the
+    within-partition sort finishes the order.  Error rows and
+    url-less rows drop — they have no fetchable extent.  Line text is
+    rendered by ``cdx_line`` itself (one tiny Arrow-batched pass) so the
+    written bytes and ``parse_cdx_line`` stay one contract; the urlkey
+    the JVM range-partitions on is the SAME Python-computed string, so
+    sort key and line key cannot diverge."""
+    import pyarrow as pa
+
+    ok = index.where(
+        F.col("error").isNull()
+        & F.col("url").isNotNull()
+        & (F.col("rec_offset") >= 0)
+    ).select(
+        "src_file",
+        "rec_offset",
+        "rec_length",
+        "url",
+        F.coalesce(
+            F.date_format(
+                F.coalesce(
+                    F.try_to_timestamp(
+                        F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+                    ),
+                    F.try_to_timestamp(
+                        F.col("warc_date"),
+                        F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSX"),
+                    ),
+                ),
+                "yyyyMMddHHmmss",
+            ),
+            F.lit("19700101000000"),
+        ).alias("ts14"),
+    )
+
+    def fmt(batches):
+        for rb in batches:
+            cols = {
+                k: rb.column(rb.schema.get_field_index(k)).to_pylist()
+                for k in ("src_file", "rec_offset", "rec_length", "url", "ts14")
+            }
+            keys, lines = [], []
+            for fn, off, length, url, ts in zip(
+                cols["src_file"], cols["rec_offset"], cols["rec_length"],
+                cols["url"], cols["ts14"],
+            ):
+                keys.append(surt_key(url))
+                lines.append(cdx_line(url, ts, fn, off, length))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys, pa.string()), pa.array(lines, pa.string())],
+                ["urlkey", "line"],
+            )
+
+    return (
+        ok.mapInArrow(fmt, "urlkey string, line string")
+        .repartitionByRange(shards, "urlkey", "line")
+        .sortWithinPartitions("urlkey", "line")
+        .select("line")
+    )
+
+
+def write_cdx(index: DataFrame, dest_dir: str, shards: int = 4) -> None:
+    """Write the CDX index as ``shards`` gzipped CDXJ shard files under
+    ``dest_dir`` (Spark's native text sink — atomic via the Hadoop
+    commit protocol, one sorted file per range partition, part-file name
+    order == global key order).  Round-trip contract: ``read_cdx`` over
+    ``dest_dir`` recovers exactly the (filename, offset, length) triples
+    and ``read_warc_at`` can fetch every one of them."""
+    cdx_lines(index, shards).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).text(dest_dir)
 
 
 # --- charset probes: driver-oracled non-ASCII captures ----------------------

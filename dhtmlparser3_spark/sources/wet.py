@@ -64,10 +64,18 @@ from .warc import (
     parse_warc_record,
     split_gzip_members,
     split_warc_plain,
+    stream_gzip_extents,
     stream_gzip_members,
     stream_warc_plain,
     _local_path,
 )
+
+
+def _plain_extents(members):
+    """(offset, raw) plain-record iterator → (offset, length, raw): an
+    uncompressed record's on-disk extent IS its byte length."""
+    for off, raw in members:
+        yield off, len(raw), raw
 
 # read_wet output: text is a STRING column (WET blocks are UTF-8 by
 # format contract — the converter already transcoded at ingest), offsets
@@ -289,15 +297,21 @@ def scan_record_files(
     schema: str,
     arrow_types,
     batch_rows: int = 2048,
+    extents: bool = False,
 ) -> DataFrame:
-    """Generic WARC-layout record scan shared by the WET and WAT readers:
-    binaryFile over ``path`` (both on-disk layouts auto-detected per
-    file), ``make_rows(path, member_iter)`` turning members into row
-    tuples matching ``schema``/``arrow_types``, ``io`` as in
-    ``read_warc`` (``"stream"`` = path-only scan + incremental
+    """Generic WARC-layout record scan shared by the WET and WAT readers
+    (and the CDX indexer): binaryFile over ``path`` (both on-disk layouts
+    auto-detected per file), ``make_rows(path, member_iter)`` turning
+    members into row tuples matching ``schema``/``arrow_types``, ``io``
+    as in ``read_warc`` (``"stream"`` = path-only scan + incremental
     decompress, O(batch) worker memory).  An unopenable file in stream
     mode yields the row ``make_rows`` produces for an immediately-failing
-    member iterator (the shared end-this-file policy)."""
+    member iterator (the shared end-this-file policy).
+
+    With ``extents=True`` the member iterator yields ``(offset, length,
+    raw)`` instead of ``(offset, raw)`` — ``length`` is the record's
+    on-disk byte extent (compressed gzip member / plain record bytes),
+    the quantity a CDX index publishes for ranged fetches."""
     assert io in ("content", "stream"), io
     import pyarrow as pa
 
@@ -341,11 +355,20 @@ def scan_record_files(
                 ).to_pylist()
                 for p, data in zip(paths, contents):
                     data = bytes(data)
-                    members = (
-                        split_gzip_members(data)
-                        if data[:2] == _GZ_MAGIC
-                        else split_warc_plain(data)
-                    )
+                    if extents:
+                        import io as _io
+
+                        members = (
+                            stream_gzip_extents(_io.BytesIO(data))
+                            if data[:2] == _GZ_MAGIC
+                            else _plain_extents(split_warc_plain(data))
+                        )
+                    else:
+                        members = (
+                            split_gzip_members(data)
+                            if data[:2] == _GZ_MAGIC
+                            else split_warc_plain(data)
+                        )
                     yield make_rows(p, members)
 
         yield from _batched(row_iters())
@@ -364,11 +387,18 @@ def scan_record_files(
                     with f:
                         magic = f.read(2)
                         f.seek(0)
-                        members = (
-                            stream_gzip_members(f)
-                            if magic == _GZ_MAGIC
-                            else stream_warc_plain(f)
-                        )
+                        if extents:
+                            members = (
+                                stream_gzip_extents(f)
+                                if magic == _GZ_MAGIC
+                                else _plain_extents(stream_warc_plain(f))
+                            )
+                        else:
+                            members = (
+                                stream_gzip_members(f)
+                                if magic == _GZ_MAGIC
+                                else stream_warc_plain(f)
+                            )
                         yield make_rows(p, members)
 
         yield from _batched(row_iters())

@@ -1085,3 +1085,146 @@ def test_transcode_utf8_property():
             assert out2 is out
 
     check()
+
+
+# --- CDX index generation (index_warc / write_cdx) ---------------------------
+
+
+def test_index_warc_exact_extents(spark, tmp_path):
+    """index_warc publishes each response record's exact on-disk byte
+    extent: offsets equal the writer's member offsets, extents tile the
+    file exactly (offset[k] + length[k] == offset[k+1], last member ends
+    at EOF), and both io modes agree."""
+    import os as _os
+
+    from dhtmlparser3_spark.sources.warc import index_warc
+
+    path = str(tmp_path / "a.warc.gz")
+    info = build_warc_record("", "2024-01-01T00:00:00Z", b"x", "warcinfo")
+    offsets = write_warc_gz(
+        DOCS, path, extra_members=[gzip.compress(info, mtime=0)]
+    )
+    size = _os.path.getsize(path)
+    # every member's extent, derived from the writer's own offsets
+    want_extent = {
+        off: (offsets + [size])[i + 1] - off for i, off in enumerate(offsets)
+    }
+
+    for io_mode in ("content", "stream"):
+        rows = (
+            index_warc(spark, path, io=io_mode)
+            .orderBy("rec_offset")
+            .collect()
+        )
+        assert [r.error for r in rows] == [None] * len(DOCS)  # warcinfo skipped
+        assert [r.url for r in rows] == [d[0] for d in DOCS]
+        assert [r.warc_date for r in rows] == [d[1] for d in DOCS]
+        for r in rows:
+            assert r.rec_length == want_extent[r.rec_offset], io_mode
+
+
+def test_index_warc_plain_layout_extents(spark, tmp_path):
+    """Uncompressed .warc: the published extent is the record's byte
+    length WITHOUT the CRLFCRLF inter-record trailer — exactly the bytes
+    read_warc_at's plain fetch reads (header + Content-Length) — and
+    offset+length+trailer lands on the next record's offset."""
+    from dhtmlparser3_spark.sources.warc import index_warc
+
+    recs = [build_warc_record(u, d, h) for u, d, h in DOCS]
+    p = tmp_path / "plain.warc"
+    p.write_bytes(b"".join(recs))
+    rows = index_warc(spark, str(p)).orderBy("rec_offset").collect()
+    assert [r.error for r in rows] == [None] * len(DOCS)
+    pos = 0
+    for r, rec in zip(rows, recs):
+        assert rec.endswith(b"\r\n\r\n")
+        assert (r.rec_offset, r.rec_length) == (pos, len(rec) - 4)
+        pos += len(rec)
+
+
+def test_index_warc_error_policy(spark, tmp_path):
+    """A truncated member yields one error row and ends THAT file's scan;
+    intact records before it are still indexed; cdx_lines drops the
+    error row (no fetchable extent)."""
+    from dhtmlparser3_spark.sources.warc import cdx_lines, index_warc
+
+    good = gzip.compress(build_warc_record(*DOCS[0]), mtime=0)
+    truncated = gzip.compress(build_warc_record(*DOCS[1]), mtime=0)[:-6]
+    p = tmp_path / "broken.warc.gz"
+    p.write_bytes(good + truncated)
+    idx = index_warc(spark, str(p))
+    rows = idx.collect()
+    oks = [r for r in rows if r.error is None]
+    errs = [r for r in rows if r.error is not None]
+    assert [(r.rec_offset, r.rec_length, r.url) for r in oks] == [
+        (0, len(good), DOCS[0][0])
+    ]
+    assert len(errs) == 1 and errs[0].error.startswith("gzip: ")
+    lines = cdx_lines(idx, shards=1).collect()
+    assert len(lines) == 1 and DOCS[0][0] in lines[0].line
+
+
+def test_write_cdx_roundtrip_sorted_fetchable(spark, tmp_path):
+    """The full index loop: shards → index_warc → write_cdx →
+    (1) shard files in name order concatenate to one globally-sorted
+    key sequence, (2) read_cdx recovers every (filename, offset, length)
+    triple byte-for-byte, (3) read_warc_at over the read-back index
+    fetches html byte-identical to the full scan."""
+    import glob as _glob
+
+    from dhtmlparser3_spark.sources.warc import (
+        index_warc, parse_cdx_line, read_cdx, read_warc_at, surt_key,
+        write_cdx,
+    )
+
+    docs = [
+        (f"http://{h}.example/p{i}?q={i}", "2024-03-04T05:06:07Z",
+         f"<p>doc {h}{i}</p>".encode())
+        for i, h in enumerate(
+            ["zz", "aa", "mm", "aa", "zz", "bb", "sub.aa", "mm"]
+        )
+    ]
+    for shard in range(2):
+        write_warc_gz(
+            docs[shard::2], str(tmp_path / f"s{shard}.warc.gz")
+        )
+    glob = str(tmp_path / "*.warc.gz")
+    idx = index_warc(spark, glob)
+    dest = str(tmp_path / "cdx")
+    write_cdx(idx, dest, shards=3)
+
+    # (1) global sort order across shard files in name order
+    lines = []
+    for f in sorted(_glob.glob(dest + "/part-*.txt.gz")):
+        lines += gzip.decompress(open(f, "rb").read()).decode().splitlines()
+    assert len(lines) == len(docs)
+    keys = [l.split(" ", 1)[0] for l in lines]
+    assert keys == sorted(keys)
+    assert keys == sorted(surt_key(u) for u, _, _ in docs)
+
+    # (2) read_cdx recovers the exact triples index_warc published
+    got = {
+        (r.src_file, r.rec_offset, r.rec_length)
+        for r in read_cdx(spark, dest + "/*.txt.gz").collect()
+    }
+    want = {
+        (r.src_file, r.rec_offset, r.rec_length)
+        for r in idx.where("error IS NULL").collect()
+    }
+    assert got == want
+    # ts14 round-trips through parse_cdx_line
+    rec = parse_cdx_line(lines[0])
+    assert rec is not None and rec["timestamp"] == "20240304050607"
+
+    # (3) the read-back index drives byte-identical random access
+    fetched = {
+        r.url: bytes(r.html)
+        for r in read_warc_at(read_cdx(spark, dest + "/*.txt.gz")).collect()
+        if r.error is None
+    }
+    scanned = {
+        r.url: bytes(r.html)
+        for r in read_warc(spark, glob).collect()
+        if r.error is None
+    }
+    assert fetched == scanned == {u: h for u, _, h in docs}
