@@ -25,9 +25,24 @@ from dhtmlparser3_spark.pipeline.extract_job import extract_pages
 def curate_corpus(
     pages: DataFrame,
     min_quality: int = 50,
+    robots: DataFrame = None,
+    agent: str = "*",
     **extract_kw,
 ) -> DataFrame:
-    """pages → curated (url, n_tokens, quality), deduped on exact text."""
+    """pages → curated (url, n_tokens, quality), deduped on exact text.
+
+    ``robots``: optional (url, body) robots.txt captures — when given,
+    fetch-disallowed pages are dropped BEFORE the parse stage (the
+    compliance filter is a host join over urls; running it first means
+    a disallowed page never costs a parse, the right order at crawl
+    scale)."""
+    if robots is not None:
+        from dhtmlparser3_spark.functions.robots import (
+            robots_filter,
+            robots_rules,
+        )
+
+        pages = robots_filter(pages, robots_rules(robots, agent))
     ex = extract_pages(pages, with_metrics=False, **extract_kw)
     docs = ex.select("url", F.col("main_text").alias("text"))
     scored = with_quality(docs)
