@@ -31,6 +31,20 @@ groupBy) shuffles on the canonical key, which this normalization makes
 MORE uniform (spelling variants collapse before the exchange, not
 after).  (Reference tie-in: none — pipeline curation surface, like
 robots.py.)
+
+Two canonicalization profiles live in this package, by design:
+
+  * ``quality_filters.canonical_url_col`` — the CONSERVATIVE codegen
+    profile (case, default ports, fragment, query sort; deliberately no
+    dot segments or escape rewriting), whole-stage-codegen and
+    expressible in the DuckDB oracle — use it inside driver-oracled
+    relational plans;
+  * this module — the FULL crawler profile (adds percent-escape
+    normalization, dot segments, tracking strip, WHATWG whitespace),
+    a pure idempotent Python function for the dedup key itself.
+
+Both collapse the conservative profile's equivalence classes; this one
+collapses strictly more.
 """
 
 from __future__ import annotations
