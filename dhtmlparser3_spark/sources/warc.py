@@ -65,6 +65,14 @@ malformed framing yields an error ROW (``html`` NULL, ``error`` =
 ``http: ...``) keyed by the record's url/offset, never a silent
 pass-through and never a task failure.
 
+HTTP status: each response record's status code is surfaced as the
+``http_status`` column (NULL for non-HTTP ``resource`` captures and
+malformed status lines — lenient, the body still decodes).  The
+``warc_pages`` adapters default to the 200-only policy Common Crawl's
+WET conversion applies — a 404's body is an error page, not the page —
+while ``read_warc`` itself keeps every record so the status mix is
+still measurable (``statuses=None`` restores keep-everything).
+
 Charset: after wire decoding, each payload's character encoding is
 resolved browser-style (BOM → HTTP ``Content-Type`` charset → ``<meta>``
 prescan of the first 1024 bytes → utf-8; WHATWG sniffing, simplified — see
@@ -94,7 +102,7 @@ from pyspark.sql import functions as F
 # not a per-worker Python datetime conversion
 RAW_SCHEMA = (
     "src_file string, rec_offset bigint, url string, warc_date string, "
-    "html binary, error string, charset string"
+    "html binary, error string, charset string, http_status int"
 )
 
 _CRLF2 = b"\r\n\r\n"
@@ -268,23 +276,35 @@ def _decode_coding(body: bytes, coding: bytes) -> bytes:
     )
 
 
-def http_payload(block: bytes) -> Tuple[bytes, Optional[bytes]]:
-    """Decoded payload of an HTTP response block plus its raw
-    ``Content-Type`` header value (``None`` when the block is not an HTTP
-    message or carries no such header): headers stripped, transfer codings
-    removed (``chunked`` + compress codings, applied in reverse of the
-    listed order per RFC 9112), then the content coding (module
-    docstring).  A block that is not an HTTP message passes through (WARC
-    allows raw ``resource`` captures).  Raises ValueError on malformed
-    framing or a coding this module cannot decode — the record loop turns
-    that into an ``http:``-prefixed error row."""
+def http_response(
+    block: bytes,
+) -> Tuple[Optional[int], bytes, Optional[bytes]]:
+    """(status code, decoded payload, raw ``Content-Type`` value) of an
+    HTTP response block: headers stripped, transfer codings removed
+    (``chunked`` + compress codings, applied in reverse of the listed
+    order per RFC 9112), then the content coding (module docstring).
+
+    ``status`` is the status line's code (``HTTP/1.1 404 Not Found`` →
+    404) — a real crawl pipeline filters on it (CC's WET conversion keeps
+    200s only); ``None`` when the block is not an HTTP message at all
+    (WARC allows raw ``resource`` captures, which pass through verbatim)
+    or the status line is malformed (lenient: the body is still decoded —
+    a capture must not be lost to a sloppy status line).  ``Content-Type``
+    is ``None`` when absent.  Raises ValueError on malformed framing or a
+    coding this module cannot decode — the record loop turns that into an
+    ``http:``-prefixed error row."""
     if not block.startswith(b"HTTP/"):
-        return block, None
+        return None, block, None
     i = block.find(_CRLF2)
     if i < 0:
-        return b"", None
+        return None, b"", None
     status_and_headers = block[:i]
     nl = status_and_headers.find(b"\r\n")
+    status_line = status_and_headers[:nl] if nl >= 0 else status_and_headers
+    status: Optional[int] = None
+    parts = status_line.split(None, 2)
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
     hdr = _http_headers(status_and_headers[nl + 2 :] if nl >= 0 else b"")
     body = block[i + 4 :]
     te = [t.strip().lower() for t in hdr.get(b"transfer-encoding", b"").split(b",") if t.strip()]
@@ -296,7 +316,14 @@ def http_payload(block: bytes) -> Tuple[bytes, Optional[bytes]]:
     ce = [c.strip().lower() for c in hdr.get(b"content-encoding", b"").split(b",") if c.strip()]
     for coding in reversed(ce):
         body = _decode_coding(body, coding)
-    return body, hdr.get(b"content-type")
+    return status, body, hdr.get(b"content-type")
+
+
+def http_payload(block: bytes) -> Tuple[bytes, Optional[bytes]]:
+    """``http_response`` without the status code (kept for callers that
+    predate the status column — same decode, same ValueError contract)."""
+    _status, body, ctype = http_response(block)
+    return body, ctype
 
 
 def http_body(block: bytes) -> bytes:
@@ -590,28 +617,31 @@ def _iter_record_rows(path: str, members: Iterator[Tuple[int, bytes]]):
         except StopIteration:
             return
         except (zlib.error, OSError) as e:
-            yield (path, -1, None, None, None, f"gzip: {e}", None)
+            yield (path, -1, None, None, None, f"gzip: {e}", None, None)
             return
         except WarcStreamError as e:
             # plain-mode boundary loss: same end-this-file policy
-            yield (path, -1, None, None, None, f"warc: {e} (scan ended)", None)
+            yield (
+                path, -1, None, None, None,
+                f"warc: {e} (scan ended)", None, None,
+            )
             return
         try:
             wtype, url, date, block = parse_warc_record(raw)
         except ValueError as e:
-            yield (path, off, None, None, None, f"warc: {e}", None)
+            yield (path, off, None, None, None, f"warc: {e}", None, None)
             continue
         if wtype != "response":
             continue
         try:
-            body, ctype = http_payload(block)
+            status, body, ctype = http_response(block)
         except ValueError as e:
             # WARC headers parsed fine: keep url/date so the error row is
             # lineage-addressable (re-fetchable via read_warc_at)
-            yield (path, off, url, date, None, f"http: {e}", None)
+            yield (path, off, url, date, None, f"http: {e}", None, None)
             continue
         body, charset = transcode_utf8(body, ctype)
-        yield (path, off, url, date, body, None, charset)
+        yield (path, off, url, date, body, None, charset, status)
 
 
 _OUT_FIELDS = (
@@ -622,6 +652,7 @@ _OUT_FIELDS = (
     "html",
     "error",
     "charset",
+    "http_status",
 )
 
 
@@ -640,6 +671,7 @@ def _batched_record_batches(row_iters, batch_rows: int):
         "html": pa.binary(),
         "error": pa.string(),
         "charset": pa.string(),
+        "http_status": pa.int32(),
     }
 
     rows: list = []
@@ -748,6 +780,7 @@ def _with_warc_ts(raw: DataFrame) -> DataFrame:
         "html",
         "error",
         "charset",
+        "http_status",
     )
 
 
@@ -811,6 +844,7 @@ def _ranged_arrow_iterator(batch_rows: int):
         "html": pa.binary(),
         "error": pa.string(),
         "charset": pa.string(),
+        "http_status": pa.int32(),
     }
 
     def _member_at(f, offset: int) -> bytes:
@@ -844,7 +878,7 @@ def _ranged_arrow_iterator(batch_rows: int):
         cols: dict = {k: [] for k in out_t}
         cur_path, cur_f = None, None
 
-        def emit(path, off, url, date, html, err, charset=None):
+        def emit(path, off, url, date, html, err, charset=None, status=None):
             cols["src_file"].append(path)
             cols["rec_offset"].append(off)
             cols["url"].append(url)
@@ -852,6 +886,7 @@ def _ranged_arrow_iterator(batch_rows: int):
             cols["html"].append(html)
             cols["error"].append(err)
             cols["charset"].append(charset)
+            cols["http_status"].append(status)
 
         try:
             for rb in batches:
@@ -881,12 +916,12 @@ def _ranged_arrow_iterator(batch_rows: int):
                              f"fetch: not a response record ({wtype})")
                         continue
                     try:
-                        body, ctype = http_payload(block)
+                        status, body, ctype = http_response(block)
                     except ValueError as e:
                         emit(path, off, url, date, None, f"http: {e}")
                         continue
                     body, charset = transcode_utf8(body, ctype)
-                    emit(path, off, url, date, body, None, charset)
+                    emit(path, off, url, date, body, None, charset, status)
                     if len(cols["src_file"]) >= batch_rows:
                         yield pa.RecordBatch.from_arrays(
                             [pa.array(cols[k], out_t[k]) for k in out_t],
@@ -929,17 +964,39 @@ def read_warc_at(index: DataFrame, batch_rows: int = 2048) -> DataFrame:
     return _with_warc_ts(raw)
 
 
+def _status_ok(statuses: Optional[Tuple[int, ...]]):
+    """Filter expression for the pages adapters: keep rows whose
+    ``http_status`` is in ``statuses`` OR is NULL (non-HTTP ``resource``
+    captures pass through — they have no status to judge).  ``statuses=
+    None`` disables status filtering entirely."""
+    if statuses is None:
+        return F.lit(True)
+    return F.col("http_status").isNull() | F.col("http_status").isin(
+        list(statuses)
+    )
+
+
 def warc_pages(
-    spark: SparkSession, path: str, io: str = "content"
+    spark: SparkSession,
+    path: str,
+    io: str = "content",
+    statuses: Optional[Tuple[int, ...]] = (200,),
 ) -> DataFrame:
     """Clean-record adapter to the ``input_hint`` pages shape
     ``(url, warc_ts, html, text, lang)`` — ``text`` is the extraction
     OUTPUT slot (empty at ingest) and ``lang`` is unknown until a
     language-ID pass (functions/textops) fills it.  ``io`` as in
-    ``read_warc``."""
+    ``read_warc``.
+
+    ``statuses`` is the HTTP status policy, default 200-only — the same
+    rule Common Crawl's WET conversion applies: a 404/500 capture is a
+    real response record, but its body is an error page, not the page,
+    and letting it into a training corpus is silent pollution.  Non-HTTP
+    ``resource`` captures (status NULL) always pass; ``statuses=None``
+    keeps every decodable capture (the pre-round-5 behavior)."""
     return (
         read_warc(spark, path, io=io)
-        .where(F.col("error").isNull())
+        .where(F.col("error").isNull() & _status_ok(statuses))
         .select(
             "url",
             "warc_ts",
@@ -995,12 +1052,17 @@ def read_warc_stream(
     return _with_warc_ts(raw)
 
 
-def warc_pages_stream(spark: SparkSession, path: str) -> DataFrame:
+def warc_pages_stream(
+    spark: SparkSession,
+    path: str,
+    statuses: Optional[Tuple[int, ...]] = (200,),
+) -> DataFrame:
     """Streaming twin of ``warc_pages``: clean records in the
-    ``input_hint`` pages shape (error rows filtered)."""
+    ``input_hint`` pages shape (error rows filtered, same default
+    200-only status policy)."""
     return (
         read_warc_stream(spark, path)
-        .where(F.col("error").isNull())
+        .where(F.col("error").isNull() & _status_ok(statuses))
         .select(
             "url",
             "warc_ts",
@@ -1507,9 +1569,12 @@ def build_warc_record(
     transfer_encoding: Optional[str] = None,
     chunk_size: int = 16,
     charset: Optional[str] = None,
+    status: int = 200,
+    reason: str = "OK",
 ) -> bytes:
     """One uncompressed WARC record; ``response`` records wrap the payload
-    in a minimal HTTP/1.1 200 message like Common Crawl captures do.
+    in a minimal HTTP/1.1 message (``status``/``reason``, default
+    ``200 OK``) like Common Crawl captures do.
 
     ``content_encoding`` compresses the payload on the wire the way a real
     server would: ``"gzip"``, ``"deflate"`` (zlib-wrapped, the RFC form),
@@ -1552,7 +1617,7 @@ def build_warc_record(
         else:
             http_hdrs.append(b"Content-Length: %d" % len(wire))
         block = (
-            b"HTTP/1.1 200 OK\r\n"
+            b"HTTP/1.1 %d %s\r\n" % (status, reason.encode("ascii"))
             + b"\r\n".join(http_hdrs)
             + b"\r\n\r\n"
             + wire

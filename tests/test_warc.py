@@ -1228,3 +1228,95 @@ def test_write_cdx_roundtrip_sorted_fetchable(spark, tmp_path):
         if r.error is None
     }
     assert fetched == scanned == {u: h for u, _, h in docs}
+
+
+# --- HTTP status column + warc_pages status policy ---------------------------
+
+
+def test_http_response_status_codes():
+    from dhtmlparser3_spark.sources.warc import http_response
+
+    ok = build_warc_record("http://u/", "2024-01-01T00:00:00Z", b"<p>x</p>")
+    _, _, _, block = parse_warc_record(ok)
+    assert http_response(block)[0] == 200
+    nf = build_warc_record(
+        "http://u/404", "2024-01-01T00:00:00Z", b"<h1>gone</h1>",
+        status=404, reason="Not Found",
+    )
+    _, _, _, block = parse_warc_record(nf)
+    status, body, _ = http_response(block)
+    assert (status, body) == (404, b"<h1>gone</h1>")
+    # status decodes UNDER wire codings too
+    mv = build_warc_record(
+        "http://u/301", "2024-01-01T00:00:00Z", b"<a>moved</a>",
+        status=301, reason="Moved Permanently",
+        content_encoding="gzip", transfer_encoding="chunked",
+    )
+    _, _, _, block = parse_warc_record(mv)
+    assert http_response(block) == (301, b"<a>moved</a>", b"text/html")
+    # lenient: malformed status line → None status, body still decoded
+    assert http_response(b"HTTP/1.1 weird\r\nX: y\r\n\r\nbody") == (
+        None, b"body", None,
+    )
+    # non-HTTP block: None status, verbatim pass-through
+    assert http_response(b"raw resource bytes") == (
+        None, b"raw resource bytes", None,
+    )
+
+
+def test_warc_pages_status_policy(spark, tmp_path):
+    """read_warc surfaces every capture's status; warc_pages defaults to
+    the CC WET rule (200s + non-HTTP NULL-status captures only)."""
+    recs = [
+        build_warc_record(
+            "http://ok.example/", "2024-01-01T00:00:00Z", b"<p>page</p>"
+        ),
+        build_warc_record(
+            "http://gone.example/", "2024-01-01T00:00:01Z",
+            b"<h1>404</h1>", status=404, reason="Not Found",
+        ),
+        build_warc_record(
+            "http://moved.example/", "2024-01-01T00:00:02Z",
+            b"<a>here</a>", status=301, reason="Moved Permanently",
+        ),
+        build_warc_record(
+            "http://err.example/", "2024-01-01T00:00:03Z",
+            b"<h1>boom</h1>", status=500, reason="Internal Server Error",
+        ),
+    ]
+    # a response record whose block is NOT an HTTP message (raw resource
+    # capture): status must be NULL and the bytes pass through verbatim
+    raw_block = b"<p>raw capture</p>"
+    raw_rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://raw.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:04Z\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(raw_block)
+    ) + raw_block + b"\r\n\r\n"
+    path = str(tmp_path / "status.warc.gz")
+    write_warc_gz([], path, extra_members=recs + [raw_rec])
+
+    rows = {r.url: r for r in read_warc(spark, path).collect()}
+    assert {u: rows[u].http_status for u in rows} == {
+        "http://ok.example/": 200,
+        "http://gone.example/": 404,
+        "http://moved.example/": 301,
+        "http://err.example/": 500,
+        "http://raw.example/": None,
+    }
+    # every capture decodes regardless of status (read_warc keeps all)
+    assert bytes(rows["http://gone.example/"].html) == b"<h1>404</h1>"
+    assert bytes(rows["http://raw.example/"].html) == raw_block
+
+    # default policy: 200 + NULL-status only
+    kept = {r.url for r in warc_pages(spark, path).collect()}
+    assert kept == {"http://ok.example/", "http://raw.example/"}
+    # custom allow-list admits the redirect capture
+    kept301 = {
+        r.url for r in warc_pages(spark, path, statuses=(200, 301)).collect()
+    }
+    assert kept301 == kept | {"http://moved.example/"}
+    # statuses=None restores keep-everything
+    all_kept = {r.url for r in warc_pages(spark, path, statuses=None).collect()}
+    assert all_kept == set(rows)
