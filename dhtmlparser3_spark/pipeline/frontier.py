@@ -1,24 +1,29 @@
 """Crawl frontier: the polite-crawler discovery loop composed.
 
-    sitemap captures ──sitemap_entries (engine parse)──► candidate locs
+    sitemap captures  ──sitemap_entries (engine parse)──► candidate locs
+    crawl captures    ──3xx Location column──► redirect targets
                       ──canonicalize + first-spelling dedup──► one row/page
-    robots captures  ──robots_rules──► compliance filter (before anything
-                                        else pays for the url)
-    crawled pages    ──canonical anti-join──► only NEW work survives
+    robots captures   ──robots_rules──► compliance filter (before anything
+                                         else pays for the url)
+    crawled pages     ──canonical anti-join──► only NEW work survives
 
-The output is what a fetch scheduler consumes: urls a site advertised,
-that its robots policy allows, that the corpus does not already hold —
-with the advertised lastmod/priority kept for scheduling.  Every stage
-is an existing operator (functions/sitemap.py, functions/urlnorm.py,
-functions/robots.py); this module is the composition and its contract.
+The output is what a fetch scheduler consumes: urls a site advertised
+(sitemap ``<loc>``) or pointed at (HTTP redirect ``Location``), that its
+robots policy allows, that the corpus does not already hold — with the
+advertised lastmod/priority kept for scheduling.  Every stage is an
+existing operator (functions/sitemap.py, functions/urlnorm.py,
+functions/robots.py, the ``redirect_to`` column sources/warc.py
+materializes at ingest); this module is the composition and its contract.
 
-Scale shape: one parse pass over sitemap captures (map-only), ONE
-exchange on the canonical url for the spelling dedup, a host join for
-robots, and a left-anti join against the crawled set on the same
-canonical key (broadcast-able when the frontier is incremental and the
-crawled side is the big one — the anti-join's build side is the NEW
-candidates, typically tiny next to the corpus, so pass
-``broadcast_candidates=True`` to flip it).
+Scale shape: one parse pass over sitemap captures (map-only), a
+column-select over already-ingested crawl captures for redirects (no
+re-read — ``redirect_to`` is materialized at ingest), ONE exchange on the
+canonical url for the spelling dedup, a host join for robots, and a
+left-anti join against the crawled set on the same canonical key
+(broadcast-able when the frontier is incremental and the crawled side is
+the big one — the anti-join's build side is the NEW candidates, typically
+tiny next to the corpus, so pass ``broadcast_candidates=True`` to flip
+it).
 """
 
 from __future__ import annotations
@@ -31,22 +36,50 @@ from dhtmlparser3_spark.functions.sitemap import sitemap_entries
 from dhtmlparser3_spark.functions.urlnorm import with_canonical_url
 
 FRONTIER_SCHEMA = (
-    "url string, canonical_url string, src_sitemap string, "
+    "url string, canonical_url string, src_url string, "
     "lastmod string, priority string"
 )
+
+
+def redirect_candidates(captures: DataFrame) -> DataFrame:
+    """``read_warc``-shaped captures → (url, src_url, lastmod, priority)
+    candidate rows from HTTP redirects: each clean 3xx capture advertises
+    its resolved ``Location`` target (``redirect_to``, absolute — resolved
+    against the capture url at ingest) with the redirecting url as the
+    discovery source.  lastmod/priority are NULL — redirects carry no
+    scheduling hints.  Map-only column select; candidate urls that only
+    differ in spelling from known pages die in the frontier's canonical
+    dedup/anti-join downstream."""
+    return (
+        captures.where(
+            F.col("error").isNull()
+            & F.col("redirect_to").isNotNull()
+            & F.col("http_status").between(300, 399)
+        )
+        .select(
+            F.col("redirect_to").alias("url"),
+            F.col("url").alias("src_url"),
+            F.lit(None).cast("string").alias("lastmod"),
+            F.lit(None).cast("string").alias("priority"),
+        )
+    )
 
 
 def crawl_frontier(
     sitemap_captures: DataFrame,
     robots_captures: DataFrame = None,
     crawled: DataFrame = None,
+    redirect_captures: DataFrame = None,
     agent: str = "*",
     url_col: str = "url",
 ) -> DataFrame:
     """(url, body) sitemap captures → ``FRONTIER_SCHEMA`` fetch list.
 
     * duplicate advertisements of one canonical url keep the lexically
-      first (loc, src_sitemap) — deterministic across runs;
+      first (loc, src_url) — deterministic across runs and across the
+      sitemap/redirect source mix;
+    * ``redirect_captures`` (``read_warc`` shape): 3xx ``Location``
+      targets join the candidate pool (``redirect_candidates``);
     * ``robots_captures`` (url, body): fetch-disallowed urls drop;
     * ``crawled`` (any frame with ``url_col``): urls whose canonical
       spelling the corpus already holds drop (left-anti).
@@ -56,17 +89,19 @@ def crawl_frontier(
         .where(F.col("error").isNull() & (F.col("kind") == "url"))
         .select(
             F.col("loc").alias("url"),
-            F.col("src_url").alias("src_sitemap"),
+            F.col("src_url").alias("src_url"),
             "lastmod",
             "priority",
         )
     )
+    if redirect_captures is not None:
+        entries = entries.unionByName(redirect_candidates(redirect_captures))
     canon = with_canonical_url(entries)
-    w = Window.partitionBy("canonical_url").orderBy("url", "src_sitemap")
+    w = Window.partitionBy("canonical_url").orderBy("url", "src_url")
     frontier = (
         canon.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("url", "canonical_url", "src_sitemap", "lastmod", "priority")
+        .select("url", "canonical_url", "src_url", "lastmod", "priority")
     )
     if robots_captures is not None:
         frontier = robots_filter(
@@ -78,5 +113,5 @@ def crawl_frontier(
         ).select("canonical_url").distinct()
         frontier = frontier.join(seen, "canonical_url", "left_anti")
     return frontier.select(
-        "url", "canonical_url", "src_sitemap", "lastmod", "priority"
+        "url", "canonical_url", "src_url", "lastmod", "priority"
     )

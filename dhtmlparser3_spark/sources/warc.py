@@ -73,6 +73,15 @@ WET conversion applies — a 404's body is an error page, not the page —
 while ``read_warc`` itself keeps every record so the status mix is
 still measurable (``statuses=None`` restores keep-everything).
 
+Redirects and truncation: a 3xx capture's ``Location`` header is resolved
+against the capture url (RFC 3986 reference resolution — relative
+``Location`` values are common) into the ``redirect_to`` column — the
+second url-discovery source a crawl frontier consumes besides sitemaps
+(pipeline/frontier.py) — and a record the crawler cut short (length/time/
+disconnect caps) surfaces its ``WARC-Truncated`` reason in the
+``truncated`` column, so a corpus build can drop or re-fetch partial
+bodies instead of training on them.  Both NULL in the common case.
+
 Charset: after wire decoding, each payload's character encoding is
 resolved browser-style (BOM → HTTP ``Content-Type`` charset → ``<meta>``
 prescan of the first 1024 bytes → utf-8; WHATWG sniffing, simplified — see
@@ -93,6 +102,7 @@ import codecs
 import re
 import zlib
 from typing import Iterator, List, Optional, Tuple
+from urllib.parse import urljoin
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,7 +112,8 @@ from pyspark.sql import functions as F
 # not a per-worker Python datetime conversion
 RAW_SCHEMA = (
     "src_file string, rec_offset bigint, url string, warc_date string, "
-    "html binary, error string, charset string, http_status int"
+    "html binary, error string, charset string, http_status int, "
+    "redirect_to string, truncated string"
 )
 
 _CRLF2 = b"\r\n\r\n"
@@ -142,8 +153,9 @@ def split_gzip_members(data: bytes) -> Iterator[Tuple[int, bytes]]:
     yield from stream_gzip_members(io.BytesIO(data))
 
 
-def parse_warc_record(raw: bytes):
-    """One decompressed member → (warc_type, url, date, block) or raise.
+def parse_warc_fields(raw: bytes) -> Tuple[dict, bytes]:
+    """One decompressed member → (WARC header dict {lower-name bytes:
+    stripped value bytes}, block) or raise.
 
     WARC/1.0 layout: version line, header lines, CRLFCRLF, then exactly
     ``Content-Length`` bytes of block (for ``response`` records the block
@@ -167,12 +179,34 @@ def parse_warc_record(raw: bytes):
     block = raw[head_end + 4 : head_end + 4 + clen]
     if len(block) < clen:
         raise ValueError(f"short block: {len(block)} < {clen}")
+    return hdr, block
+
+
+def _warc_tuple(hdr: dict, block: bytes):
     return (
         hdr.get(b"warc-type", b"").decode("ascii", "replace"),
         hdr.get(b"warc-target-uri", b"").decode("utf-8", "replace"),
         hdr.get(b"warc-date", b"").decode("ascii", "replace"),
         block,
     )
+
+
+def parse_warc_record(raw: bytes):
+    """``parse_warc_fields`` flattened to the (warc_type, url, date, block)
+    tuple most callers want."""
+    hdr, block = parse_warc_fields(raw)
+    return _warc_tuple(hdr, block)
+
+
+def _warc_truncated(hdr: dict) -> Optional[str]:
+    """``WARC-Truncated`` reason token, or None when the header is absent.
+    The spec requires a reason (length/time/disconnect/unspecified); an
+    empty value is lenient-normalized to ``unspecified`` rather than
+    losing the only signal that the body is partial."""
+    t = hdr.get(b"warc-truncated")
+    if t is None:
+        return None
+    return t.decode("ascii", "replace").strip().lower() or "unspecified"
 
 
 def _http_headers(head: bytes) -> dict:
@@ -278,11 +312,12 @@ def _decode_coding(body: bytes, coding: bytes) -> bytes:
 
 def http_response(
     block: bytes,
-) -> Tuple[Optional[int], bytes, Optional[bytes]]:
-    """(status code, decoded payload, raw ``Content-Type`` value) of an
-    HTTP response block: headers stripped, transfer codings removed
-    (``chunked`` + compress codings, applied in reverse of the listed
-    order per RFC 9112), then the content coding (module docstring).
+) -> Tuple[Optional[int], bytes, Optional[bytes], Optional[bytes]]:
+    """(status code, decoded payload, raw ``Content-Type`` value, raw
+    ``Location`` value) of an HTTP response block: headers stripped,
+    transfer codings removed (``chunked`` + compress codings, applied in
+    reverse of the listed order per RFC 9112), then the content coding
+    (module docstring).
 
     ``status`` is the status line's code (``HTTP/1.1 404 Not Found`` →
     404) — a real crawl pipeline filters on it (CC's WET conversion keeps
@@ -290,14 +325,16 @@ def http_response(
     (WARC allows raw ``resource`` captures, which pass through verbatim)
     or the status line is malformed (lenient: the body is still decoded —
     a capture must not be lost to a sloppy status line).  ``Content-Type``
-    is ``None`` when absent.  Raises ValueError on malformed framing or a
+    and ``Location`` are ``None`` when absent; ``Location`` may be a
+    relative reference — resolve it against the capture url
+    (``resolve_redirect``).  Raises ValueError on malformed framing or a
     coding this module cannot decode — the record loop turns that into an
     ``http:``-prefixed error row."""
     if not block.startswith(b"HTTP/"):
-        return None, block, None
+        return None, block, None, None
     i = block.find(_CRLF2)
     if i < 0:
-        return None, b"", None
+        return None, b"", None, None
     status_and_headers = block[:i]
     nl = status_and_headers.find(b"\r\n")
     status_line = status_and_headers[:nl] if nl >= 0 else status_and_headers
@@ -316,13 +353,32 @@ def http_response(
     ce = [c.strip().lower() for c in hdr.get(b"content-encoding", b"").split(b",") if c.strip()]
     for coding in reversed(ce):
         body = _decode_coding(body, coding)
-    return status, body, hdr.get(b"content-type")
+    return status, body, hdr.get(b"content-type"), hdr.get(b"location")
+
+
+def resolve_redirect(url: str, location: Optional[bytes]) -> Optional[str]:
+    """Absolute redirect target: the ``Location`` header value resolved
+    against the capture url per RFC 3986 (serves the relative ``Location``
+    real servers send despite RFC 9110 asking for a URI-reference the
+    client must resolve anyway).  Header bytes decode latin-1 — the HTTP
+    field-value charset — so no byte sequence can raise.  None in, None
+    out; a resolution failure (malformed base AND target) yields None
+    rather than a task error."""
+    if location is None:
+        return None
+    loc = location.decode("latin-1").strip()
+    if not loc:
+        return None
+    try:
+        return urljoin(url or "", loc)
+    except ValueError:
+        return None
 
 
 def http_payload(block: bytes) -> Tuple[bytes, Optional[bytes]]:
     """``http_response`` without the status code (kept for callers that
     predate the status column — same decode, same ValueError contract)."""
-    _status, body, ctype = http_response(block)
+    _status, body, ctype, _loc = http_response(block)
     return body, ctype
 
 
@@ -617,31 +673,36 @@ def _iter_record_rows(path: str, members: Iterator[Tuple[int, bytes]]):
         except StopIteration:
             return
         except (zlib.error, OSError) as e:
-            yield (path, -1, None, None, None, f"gzip: {e}", None, None)
+            yield (path, -1, None, None, None, f"gzip: {e}",
+                   None, None, None, None)
             return
         except WarcStreamError as e:
             # plain-mode boundary loss: same end-this-file policy
             yield (
                 path, -1, None, None, None,
-                f"warc: {e} (scan ended)", None, None,
+                f"warc: {e} (scan ended)", None, None, None, None,
             )
             return
         try:
-            wtype, url, date, block = parse_warc_record(raw)
+            hdr, block = parse_warc_fields(raw)
         except ValueError as e:
-            yield (path, off, None, None, None, f"warc: {e}", None, None)
+            yield (path, off, None, None, None, f"warc: {e}",
+                   None, None, None, None)
             continue
+        wtype, url, date, block = _warc_tuple(hdr, block)
         if wtype != "response":
             continue
         try:
-            status, body, ctype = http_response(block)
+            status, body, ctype, loc = http_response(block)
         except ValueError as e:
             # WARC headers parsed fine: keep url/date so the error row is
             # lineage-addressable (re-fetchable via read_warc_at)
-            yield (path, off, url, date, None, f"http: {e}", None, None)
+            yield (path, off, url, date, None, f"http: {e}",
+                   None, None, None, None)
             continue
         body, charset = transcode_utf8(body, ctype)
-        yield (path, off, url, date, body, None, charset, status)
+        yield (path, off, url, date, body, None, charset, status,
+               resolve_redirect(url, loc), _warc_truncated(hdr))
 
 
 _OUT_FIELDS = (
@@ -653,6 +714,8 @@ _OUT_FIELDS = (
     "error",
     "charset",
     "http_status",
+    "redirect_to",
+    "truncated",
 )
 
 
@@ -672,6 +735,8 @@ def _batched_record_batches(row_iters, batch_rows: int):
         "error": pa.string(),
         "charset": pa.string(),
         "http_status": pa.int32(),
+        "redirect_to": pa.string(),
+        "truncated": pa.string(),
     }
 
     rows: list = []
@@ -781,6 +846,8 @@ def _with_warc_ts(raw: DataFrame) -> DataFrame:
         "error",
         "charset",
         "http_status",
+        "redirect_to",
+        "truncated",
     )
 
 
@@ -791,9 +858,10 @@ def read_warc(
     io: str = "content",
 ) -> DataFrame:
     """``.warc.gz`` file(s) → DataFrame
-    ``(src_file, rec_offset, url, warc_ts, html, error, charset)`` —
-    ``html`` is always UTF-8 bytes (module docstring: wire decode, then
-    charset transcode), ``charset`` the resolved ``codec:source``.
+    ``(src_file, rec_offset, url, warc_ts, html, error, charset,
+    http_status, redirect_to, truncated)`` — ``html`` is always UTF-8
+    bytes (module docstring: wire decode, then charset transcode),
+    ``charset`` the resolved ``codec:source``.
 
     ``path`` accepts the usual Hadoop globs (``dir/*.warc.gz``).  Rows with
     ``error IS NULL`` carry one ``response`` record each; ``(src_file,
@@ -845,6 +913,8 @@ def _ranged_arrow_iterator(batch_rows: int):
         "error": pa.string(),
         "charset": pa.string(),
         "http_status": pa.int32(),
+        "redirect_to": pa.string(),
+        "truncated": pa.string(),
     }
 
     def _member_at(f, offset: int) -> bytes:
@@ -878,7 +948,8 @@ def _ranged_arrow_iterator(batch_rows: int):
         cols: dict = {k: [] for k in out_t}
         cur_path, cur_f = None, None
 
-        def emit(path, off, url, date, html, err, charset=None, status=None):
+        def emit(path, off, url, date, html, err, charset=None, status=None,
+                 redirect=None, truncated=None):
             cols["src_file"].append(path)
             cols["rec_offset"].append(off)
             cols["url"].append(url)
@@ -887,6 +958,8 @@ def _ranged_arrow_iterator(batch_rows: int):
             cols["error"].append(err)
             cols["charset"].append(charset)
             cols["http_status"].append(status)
+            cols["redirect_to"].append(redirect)
+            cols["truncated"].append(truncated)
 
         try:
             for rb in batches:
@@ -905,23 +978,25 @@ def _ranged_arrow_iterator(batch_rows: int):
                             cur_f = open(local, "rb")
                             cur_path = local
                         raw = _member_at(cur_f, off)
-                        wtype, url, date, block = parse_warc_record(raw)
+                        hdr, block = parse_warc_fields(raw)
                     except (
                         OSError, zlib.error, ValueError, WarcStreamError
                     ) as e:
                         emit(path, off, None, None, None, f"fetch: {e}")
                         continue
+                    wtype, url, date, block = _warc_tuple(hdr, block)
                     if wtype != "response":
                         emit(path, off, None, None, None,
                              f"fetch: not a response record ({wtype})")
                         continue
                     try:
-                        status, body, ctype = http_response(block)
+                        status, body, ctype, loc = http_response(block)
                     except ValueError as e:
                         emit(path, off, url, date, None, f"http: {e}")
                         continue
                     body, charset = transcode_utf8(body, ctype)
-                    emit(path, off, url, date, body, None, charset, status)
+                    emit(path, off, url, date, body, None, charset, status,
+                         resolve_redirect(url, loc), _warc_truncated(hdr))
                     if len(cols["src_file"]) >= batch_rows:
                         yield pa.RecordBatch.from_arrays(
                             [pa.array(cols[k], out_t[k]) for k in out_t],
@@ -1571,6 +1646,8 @@ def build_warc_record(
     charset: Optional[str] = None,
     status: int = 200,
     reason: str = "OK",
+    location: Optional[str] = None,
+    truncated: Optional[str] = None,
 ) -> bytes:
     """One uncompressed WARC record; ``response`` records wrap the payload
     in a minimal HTTP/1.1 message (``status``/``reason``, default
@@ -1586,13 +1663,19 @@ def build_warc_record(
     order on a real wire: content coding first, transfer coding last).
     ``charset`` declares an encoding label on the HTTP Content-Type the
     way real servers do (``html`` must already be bytes IN that
-    encoding — the writer labels, it never transcodes)."""
+    encoding — the writer labels, it never transcodes).  ``location``
+    adds an HTTP ``Location`` header (pair with a 3xx ``status`` to
+    synthesize a redirect capture); ``truncated`` adds a
+    ``WARC-Truncated: <reason>`` record header (a crawler's partial-body
+    marker)."""
     if warc_type == "response":
         wire = html
         http_ct = b"Content-Type: text/html"
         if charset is not None:
             http_ct += b"; charset=%s" % charset.encode("ascii")
         http_hdrs = [http_ct]
+        if location is not None:
+            http_hdrs.append(b"Location: %s" % location.encode("latin-1"))
         if content_encoding == "gzip":
             import gzip as _gz
 
@@ -1631,6 +1714,11 @@ def build_warc_record(
         + b"WARC-Type: %s\r\n" % warc_type.encode()
         + b"WARC-Target-URI: %s\r\n" % url.encode()
         + b"WARC-Date: %s\r\n" % date_iso.encode()
+        + (
+            b"WARC-Truncated: %s\r\n" % truncated.encode("ascii")
+            if truncated is not None
+            else b""
+        )
         + b"Content-Type: %s\r\n" % ctype
         + b"Content-Length: %d\r\n" % len(block)
     )

@@ -45,7 +45,7 @@ def test_frontier_dedup_is_canonical_and_deterministic(spark):
     keep = rows["http://a.example/new1"]
     # lexically-first spelling/source wins: 'HTTP://...' < 'http://...'
     assert keep.url == "HTTP://A.Example:80/new1?utm_source=x"
-    assert keep.src_sitemap == "http://a.example/sitemap.xml"
+    assert keep.src_url == "http://a.example/sitemap.xml"
     assert rows["http://a.example/private/x"].priority == "0.9"
     assert rows["http://a.example/old"].lastmod is None
 

@@ -1244,7 +1244,7 @@ def test_http_response_status_codes():
         status=404, reason="Not Found",
     )
     _, _, _, block = parse_warc_record(nf)
-    status, body, _ = http_response(block)
+    status, body, _, _ = http_response(block)
     assert (status, body) == (404, b"<h1>gone</h1>")
     # status decodes UNDER wire codings too
     mv = build_warc_record(
@@ -1253,14 +1253,14 @@ def test_http_response_status_codes():
         content_encoding="gzip", transfer_encoding="chunked",
     )
     _, _, _, block = parse_warc_record(mv)
-    assert http_response(block) == (301, b"<a>moved</a>", b"text/html")
+    assert http_response(block) == (301, b"<a>moved</a>", b"text/html", None)
     # lenient: malformed status line → None status, body still decoded
     assert http_response(b"HTTP/1.1 weird\r\nX: y\r\n\r\nbody") == (
-        None, b"body", None,
+        None, b"body", None, None,
     )
     # non-HTTP block: None status, verbatim pass-through
     assert http_response(b"raw resource bytes") == (
-        None, b"raw resource bytes", None,
+        None, b"raw resource bytes", None, None,
     )
 
 
@@ -1320,3 +1320,174 @@ def test_warc_pages_status_policy(spark, tmp_path):
     # statuses=None restores keep-everything
     all_kept = {r.url for r in warc_pages(spark, path, statuses=None).collect()}
     assert all_kept == set(rows)
+
+
+# --- redirect_to + truncated columns ------------------------------------------
+
+
+def test_resolve_redirect_reference_resolution():
+    from dhtmlparser3_spark.sources.warc import resolve_redirect
+
+    base = "http://a.example/dir/page?x=1"
+    # absolute target passes through
+    assert (
+        resolve_redirect(base, b"https://b.example/p") == "https://b.example/p"
+    )
+    # relative forms resolve per RFC 3986
+    assert resolve_redirect(base, b"other") == "http://a.example/dir/other"
+    assert resolve_redirect(base, b"/root") == "http://a.example/root"
+    assert resolve_redirect(base, b"../up") == "http://a.example/up"
+    # protocol-relative (common on real servers)
+    assert resolve_redirect(base, b"//c.example/q") == "http://c.example/q"
+    # None / empty header → None
+    assert resolve_redirect(base, None) is None
+    assert resolve_redirect(base, b"  ") is None
+
+
+def test_read_warc_redirects_and_truncated(spark, tmp_path):
+    """3xx Location surfaces resolved in redirect_to; WARC-Truncated
+    surfaces its reason; both NULL on plain 200 captures.  Identical
+    through the scan AND random-access paths."""
+    from dhtmlparser3_spark.sources.warc import read_warc_at
+
+    recs = [
+        build_warc_record(
+            "http://ok.example/a", "2024-01-01T00:00:00Z", b"<p>fine</p>"
+        ),
+        # relative Location must resolve against the capture url
+        build_warc_record(
+            "http://mv.example/dir/old", "2024-01-01T00:00:01Z", b"",
+            status=301, reason="Moved Permanently", location="../new",
+        ),
+        # absolute Location, 302, UNDER wire codings
+        build_warc_record(
+            "http://tmp.example/x", "2024-01-01T00:00:02Z", b"<a>see</a>",
+            status=302, reason="Found", location="https://cdn.example/x",
+            content_encoding="gzip", transfer_encoding="chunked",
+        ),
+        # a 200 with a (nonsensical but legal) Location header: surfaced,
+        # but redirect_candidates must NOT treat it as a redirect
+        build_warc_record(
+            "http://odd.example/", "2024-01-01T00:00:03Z", b"<p>odd</p>",
+            status=200, location="http://elsewhere.example/",
+        ),
+        # crawler cut this body short
+        build_warc_record(
+            "http://cut.example/", "2024-01-01T00:00:04Z", b"<p>part",
+            truncated="length",
+        ),
+    ]
+    path = str(tmp_path / "redir.warc.gz")
+    write_warc_gz([], path, extra_members=recs)
+
+    df = read_warc(spark, path)
+    rows = {r.url: r for r in df.collect()}
+    assert {u: rows[u].redirect_to for u in rows} == {
+        "http://ok.example/a": None,
+        "http://mv.example/dir/old": "http://mv.example/new",
+        "http://tmp.example/x": "https://cdn.example/x",
+        "http://odd.example/": "http://elsewhere.example/",
+        "http://cut.example/": None,
+    }
+    assert {u: rows[u].truncated for u in rows} == {
+        "http://ok.example/a": None,
+        "http://mv.example/dir/old": None,
+        "http://tmp.example/x": None,
+        "http://odd.example/": None,
+        "http://cut.example/": "length",
+    }
+    # truncated bodies still decode (the flag is the signal, not a drop)
+    assert bytes(rows["http://cut.example/"].html) == b"<p>part"
+
+    # random-access path carries the same columns
+    idx = df.select("src_file", "rec_offset")
+    fetched = {r.url: r for r in read_warc_at(idx).collect()}
+    assert {
+        u: (fetched[u].redirect_to, fetched[u].truncated) for u in fetched
+    } == {u: (rows[u].redirect_to, rows[u].truncated) for u in rows}
+
+
+def test_frontier_redirect_discovery(spark, tmp_path):
+    """Redirect targets feed the crawl frontier: discovered urls pass
+    canonical dedup (against sitemap spellings too), robots compliance,
+    and the crawled anti-join."""
+    from dhtmlparser3_spark.pipeline.frontier import (
+        crawl_frontier,
+        redirect_candidates,
+    )
+
+    recs = [
+        # advertises a url the sitemap ALSO advertises (different spelling)
+        build_warc_record(
+            "http://a.example/from1", "2024-01-01T00:00:00Z", b"",
+            status=301, reason="Moved", location="http://a.example:80/new1",
+        ),
+        # brand-new discovery
+        build_warc_record(
+            "http://a.example/from2", "2024-01-01T00:00:01Z", b"",
+            status=302, reason="Found", location="http://a.example/fresh",
+        ),
+        # robots-disallowed target must drop
+        build_warc_record(
+            "http://a.example/from3", "2024-01-01T00:00:02Z", b"",
+            status=301, reason="Moved", location="http://a.example/private/p",
+        ),
+        # already-crawled target must drop
+        build_warc_record(
+            "http://a.example/from4", "2024-01-01T00:00:03Z", b"",
+            status=307, reason="Temporary", location="http://a.example/have",
+        ),
+        # 200 with Location: NOT a redirect, must not enter the frontier
+        build_warc_record(
+            "http://a.example/from5", "2024-01-01T00:00:04Z", b"<p>x</p>",
+            status=200, location="http://a.example/not-a-redirect",
+        ),
+    ]
+    path = str(tmp_path / "hops.warc.gz")
+    write_warc_gz([], path, extra_members=recs)
+    captures = read_warc(spark, path)
+
+    cands = {
+        (r.url, r.src_url) for r in redirect_candidates(captures).collect()
+    }
+    assert cands == {
+        ("http://a.example:80/new1", "http://a.example/from1"),
+        ("http://a.example/fresh", "http://a.example/from2"),
+        ("http://a.example/private/p", "http://a.example/from3"),
+        ("http://a.example/have", "http://a.example/from4"),
+    }
+
+    sitemap = spark.createDataFrame(
+        [(
+            "http://a.example/sitemap.xml",
+            b"<urlset><url><loc>http://a.example/new1</loc></url></urlset>",
+        )],
+        "url string, body binary",
+    )
+    robots = spark.createDataFrame(
+        [(
+            "http://a.example/robots.txt",
+            b"User-agent: *\nDisallow: /private/\n",
+        )],
+        "url string, body binary",
+    )
+    crawled = spark.createDataFrame(
+        [("http://a.example/have?utm_source=x",)], "url string"
+    )
+    rows = {
+        r.canonical_url: r
+        for r in crawl_frontier(
+            sitemap,
+            robots_captures=robots,
+            crawled=crawled,
+            redirect_captures=captures,
+        ).collect()
+    }
+    assert set(rows) == {"http://a.example/new1", "http://a.example/fresh"}
+    # both spellings of new1 collapsed; the redirect spelling + source win
+    # lexically ('http://a.example/new1' > 'http://a.example:80/new1'? no:
+    # ':' (0x3a) < '/' (0x2f) is false — '/' 0x2f < ':' 0x3a, so the
+    # sitemap spelling sorts first) — pin whichever is lexically smallest
+    keep = rows["http://a.example/new1"]
+    assert keep.url == min("http://a.example/new1", "http://a.example:80/new1")
+    assert rows["http://a.example/fresh"].src_url == "http://a.example/from2"
