@@ -719,25 +719,49 @@ _OUT_FIELDS = (
 )
 
 
-def _batched_record_batches(row_iters, batch_rows: int):
+# Arrow type per RAW_SCHEMA column — string keys keep pyarrow imports
+# inside the worker functions
+_OUT_TYPES = {
+    "src_file": "string",
+    "rec_offset": "int64",
+    "url": "string",
+    "warc_date": "string",
+    "html": "binary",
+    "error": "string",
+    "charset": "string",
+    "http_status": "int32",
+    "redirect_to": "string",
+    "truncated": "string",
+}
+
+
+def _err_row(path: str, msg: str, types=_OUT_TYPES) -> tuple:
+    """Schema-shaped error row: path + offset -1 + NULLs + the message in
+    the ``error`` slot (whichever position that field holds)."""
+    return tuple(
+        path if k == "src_file" else -1 if k == "rec_offset"
+        else msg if k == "error" else None
+        for k in types
+    )
+
+
+def _batched_record_batches(row_iters, batch_rows: int, types=_OUT_TYPES):
     """Row-tuple iterators → Arrow RecordBatches of ≤ ``batch_rows`` rows
     so one output batch, not one output FILE, bounds worker memory (a
     1 GiB WARC shard holds ~50-100k records; their bodies must not
-    accumulate into a single Arrow batch)."""
+    accumulate into a single Arrow batch).  ``types`` names the output
+    columns in row-tuple order (RAW by default; the revisit reader passes
+    its own)."""
     import pyarrow as pa
 
-    out_t = {
-        "src_file": pa.string(),
-        "rec_offset": pa.int64(),
-        "url": pa.string(),
-        "warc_date": pa.string(),
-        "html": pa.binary(),
-        "error": pa.string(),
-        "charset": pa.string(),
-        "http_status": pa.int32(),
-        "redirect_to": pa.string(),
-        "truncated": pa.string(),
+    pa_of = {
+        "string": pa.string(),
+        "int64": pa.int64(),
+        "int32": pa.int32(),
+        "binary": pa.binary(),
     }
+    fields = list(types)
+    out_t = {k: pa_of[v] for k, v in types.items()}
 
     rows: list = []
 
@@ -745,9 +769,9 @@ def _batched_record_batches(row_iters, batch_rows: int):
         rb = pa.RecordBatch.from_arrays(
             [
                 pa.array([r[i] for r in rows], out_t[k])
-                for i, k in enumerate(_OUT_FIELDS)
+                for i, k in enumerate(fields)
             ],
-            list(_OUT_FIELDS),
+            fields,
         )
         rows.clear()
         return rb
@@ -761,8 +785,12 @@ def _batched_record_batches(row_iters, batch_rows: int):
         yield _flush()
 
 
-def _records_arrow_iterator(batch_rows: int):
-    """mapInArrow fn over binaryFile rows: (path, content) → RAW_SCHEMA."""
+def _records_arrow_iterator(
+    batch_rows: int, row_fn=None, types=_OUT_TYPES
+):
+    """mapInArrow fn over binaryFile rows: (path, content) → ``types``
+    rows via ``row_fn`` (default: the response-record loop)."""
+    row_fn = row_fn or _iter_record_rows
 
     def run(batches):
         def row_iters():
@@ -780,18 +808,19 @@ def _records_arrow_iterator(batch_rows: int):
                         if data[:2] == _GZ_MAGIC
                         else split_warc_plain(data)
                     )
-                    yield _iter_record_rows(path, members)
+                    yield row_fn(path, members)
 
-        yield from _batched_record_batches(row_iters(), batch_rows)
+        yield from _batched_record_batches(row_iters(), batch_rows, types)
 
     return run
 
 
-def _stream_arrow_iterator(batch_rows: int):
-    """mapInArrow fn over path-only rows: (path) → RAW_SCHEMA, opening
+def _stream_arrow_iterator(batch_rows: int, row_fn=None, types=_OUT_TYPES):
+    """mapInArrow fn over path-only rows: (path) → ``types`` rows, opening
     each file in the worker and decompressing incrementally — worker
     memory is O(batch), independent of shard size (the whole-file reader
     unavoidably holds the compressed shard binaryFile hands it)."""
+    row_fn = row_fn or _iter_record_rows
 
     def run(batches):
         def row_iters():
@@ -802,9 +831,7 @@ def _stream_arrow_iterator(batch_rows: int):
                     try:
                         f = open(_local_path(path), "rb")
                     except OSError as e:
-                        yield iter(
-                            [(path, -1, None, None, None, f"gzip: {e}", None)]
-                        )
+                        yield iter([_err_row(path, f"gzip: {e}", types)])
                         continue
                     with f:
                         magic = f.read(2)
@@ -814,9 +841,9 @@ def _stream_arrow_iterator(batch_rows: int):
                             if magic == _GZ_MAGIC
                             else stream_warc_plain(f)
                         )
-                        yield _iter_record_rows(path, members)
+                        yield row_fn(path, members)
 
-        yield from _batched_record_batches(row_iters(), batch_rows)
+        yield from _batched_record_batches(row_iters(), batch_rows, types)
 
     return run
 
@@ -891,6 +918,139 @@ def read_warc(
             _records_arrow_iterator(batch_rows), RAW_SCHEMA
         )
     return _with_warc_ts(raw)
+
+
+# --- revisit records (the archive's own dedup markers) -----------------------
+
+REVISIT_SCHEMA = (
+    "src_file string, rec_offset bigint, url string, warc_date string, "
+    "refers_to_url string, refers_to_date string, payload_digest string, "
+    "profile string, error string"
+)
+
+_REVISIT_TYPES = {
+    "src_file": "string",
+    "rec_offset": "int64",
+    "url": "string",
+    "warc_date": "string",
+    "refers_to_url": "string",
+    "refers_to_date": "string",
+    "payload_digest": "string",
+    "profile": "string",
+    "error": "string",
+}
+
+
+def _iter_revisit_rows(path: str, members: Iterator[Tuple[int, bytes]]):
+    """Member iterator → REVISIT_SCHEMA row tuples: one row per
+    ``revisit`` record, same end-this-file error policy as the response
+    loop (corrupt member → one error row, scan of THIS file ends;
+    malformed record → error row, scan continues; other types skip)."""
+    while True:
+        try:
+            off, raw = next(members)
+        except StopIteration:
+            return
+        except (zlib.error, OSError) as e:
+            yield _err_row(path, f"gzip: {e}", _REVISIT_TYPES)
+            return
+        except WarcStreamError as e:
+            yield _err_row(path, f"warc: {e} (scan ended)", _REVISIT_TYPES)
+            return
+        try:
+            hdr, _block = parse_warc_fields(raw)
+        except ValueError as e:
+            yield (path, off, None, None, None, None, None, None,
+                   f"warc: {e}")
+            continue
+        if hdr.get(b"warc-type", b"").decode("ascii", "replace") != "revisit":
+            continue
+
+        def s(key: bytes) -> Optional[str]:
+            v = hdr.get(key)
+            return v.decode("utf-8", "replace") if v is not None else None
+
+        yield (
+            path,
+            off,
+            s(b"warc-target-uri"),
+            s(b"warc-date"),
+            s(b"warc-refers-to-target-uri"),
+            s(b"warc-refers-to-date"),
+            s(b"warc-payload-digest"),
+            s(b"warc-profile"),
+            None,
+        )
+
+
+def read_warc_revisits(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 4096,
+    io: str = "content",
+) -> DataFrame:
+    """``revisit`` records of WARC file(s) → DataFrame ``(src_file,
+    rec_offset, url, warc_ts, refers_to_url, refers_to_ts,
+    payload_digest, profile, error)``.
+
+    A crawler that refetches a url and finds the payload unchanged writes
+    a ``revisit`` record — WARC-Refers-To-Target-URI/-Date name the
+    earlier capture, WARC-Payload-Digest carries the (typically sha1)
+    digest both share (ISO 28500; the identical-payload-digest profile is
+    what Common Crawl and Heritrix emit).  ``read_warc`` deliberately
+    skips these (no payload to extract); this reader surfaces them so a
+    corpus build can credit duplicate fetches — recency weighting, crawl
+    freshness stats, digest-level dedup — without refetching anything.
+    ``io``/error policy/lineage key as in ``read_warc``; same one-task-
+    per-shard scale shape (revisit rows are tiny — headers only)."""
+    assert io in ("content", "stream"), io
+    files = spark.read.format("binaryFile").load(path)
+    if io == "stream":
+        raw = files.select("path").mapInArrow(
+            _stream_arrow_iterator(batch_rows, _iter_revisit_rows,
+                                   _REVISIT_TYPES),
+            REVISIT_SCHEMA,
+        )
+    else:
+        raw = files.select("path", "content").mapInArrow(
+            _records_arrow_iterator(batch_rows, _iter_revisit_rows,
+                                    _REVISIT_TYPES),
+            REVISIT_SCHEMA,
+        )
+    ts = lambda c: F.coalesce(  # noqa: E731 — same patterns as _with_warc_ts
+        F.try_to_timestamp(F.col(c), F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+        F.try_to_timestamp(F.col(c), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSX")),
+        F.try_to_timestamp(F.col(c), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")),
+    )
+    return raw.select(
+        "src_file",
+        "rec_offset",
+        "url",
+        ts("warc_date").alias("warc_ts"),
+        "refers_to_url",
+        ts("refers_to_date").alias("refers_to_ts"),
+        "payload_digest",
+        "profile",
+        "error",
+    )
+
+
+def revisit_counts(revisits: DataFrame) -> DataFrame:
+    """Duplicate-fetch credit per original capture: clean revisit rows
+    grouped by (refers_to_url, payload_digest) → ``n_revisits`` plus the
+    first/last revisit times.  One map-side-partial aggregation — the
+    exchange carries one row per distinct original, not per revisit —
+    joinable back to the pages table on url (broadcast when the revisit
+    side is small, the usual case for incremental crawls)."""
+    return (
+        revisits.where(F.col("error").isNull())
+        .groupBy("refers_to_url", "payload_digest")
+        .agg(
+            F.count("*").alias("n_revisits"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )
 
 
 def _ranged_arrow_iterator(batch_rows: int):
@@ -1648,6 +1808,9 @@ def build_warc_record(
     reason: str = "OK",
     location: Optional[str] = None,
     truncated: Optional[str] = None,
+    refers_to_url: Optional[str] = None,
+    refers_to_date: Optional[str] = None,
+    payload_digest: Optional[str] = None,
 ) -> bytes:
     """One uncompressed WARC record; ``response`` records wrap the payload
     in a minimal HTTP/1.1 message (``status``/``reason``, default
@@ -1667,7 +1830,10 @@ def build_warc_record(
     adds an HTTP ``Location`` header (pair with a 3xx ``status`` to
     synthesize a redirect capture); ``truncated`` adds a
     ``WARC-Truncated: <reason>`` record header (a crawler's partial-body
-    marker)."""
+    marker).  ``warc_type="revisit"`` writes a duplicate-fetch marker the
+    way Heritrix/Common Crawl do (identical-payload-digest profile,
+    refers_to_url/refers_to_date/payload_digest record headers, block =
+    the revisit fetch's HTTP headers only)."""
     if warc_type == "response":
         wire = html
         http_ct = b"Content-Type: text/html"
@@ -1706,14 +1872,41 @@ def build_warc_record(
             + wire
         )
         ctype = b"application/http; msgtype=response"
+    elif warc_type == "revisit":
+        # duplicate-fetch marker: the block is the revisit fetch's HTTP
+        # headers (no body — that's the point), the WARC headers carry
+        # the back-reference
+        block = b"HTTP/1.1 %d %s\r\nContent-Type: text/html\r\n\r\n" % (
+            status, reason.encode("ascii"),
+        )
+        ctype = b"application/http; msgtype=response"
     else:
         block = html
         ctype = b"application/warc-fields"
+    revisit_hdrs = b""
+    if warc_type == "revisit":
+        revisit_hdrs += (
+            b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+            b"identical-payload-digest\r\n"
+        )
+        if refers_to_url is not None:
+            revisit_hdrs += (
+                b"WARC-Refers-To-Target-URI: %s\r\n" % refers_to_url.encode()
+            )
+        if refers_to_date is not None:
+            revisit_hdrs += (
+                b"WARC-Refers-To-Date: %s\r\n" % refers_to_date.encode()
+            )
+    if payload_digest is not None:
+        revisit_hdrs += (
+            b"WARC-Payload-Digest: %s\r\n" % payload_digest.encode("ascii")
+        )
     head = (
         b"WARC/1.0\r\n"
         + b"WARC-Type: %s\r\n" % warc_type.encode()
         + b"WARC-Target-URI: %s\r\n" % url.encode()
         + b"WARC-Date: %s\r\n" % date_iso.encode()
+        + revisit_hdrs
         + (
             b"WARC-Truncated: %s\r\n" % truncated.encode("ascii")
             if truncated is not None

@@ -1491,3 +1491,107 @@ def test_frontier_redirect_discovery(spark, tmp_path):
     keep = rows["http://a.example/new1"]
     assert keep.url == min("http://a.example/new1", "http://a.example:80/new1")
     assert rows["http://a.example/fresh"].src_url == "http://a.example/from2"
+
+
+# --- revisit records ----------------------------------------------------------
+
+
+def test_read_warc_revisits(spark, tmp_path):
+    """revisit records (the archive's own dedup markers) surface with
+    their back-references; read_warc skips them; both io modes and the
+    error policy match the response loop."""
+    from dhtmlparser3_spark.sources.warc import (
+        read_warc_revisits,
+        revisit_counts,
+    )
+
+    digest = "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"
+    recs = [
+        build_warc_record(
+            "http://a.example/page", "2024-01-01T00:00:00Z", b"<p>orig</p>",
+            payload_digest=digest,
+        ),
+        build_warc_record(
+            "http://a.example/page", "2024-02-01T00:00:00Z", b"",
+            warc_type="revisit",
+            refers_to_url="http://a.example/page",
+            refers_to_date="2024-01-01T00:00:00Z",
+            payload_digest=digest,
+        ),
+        build_warc_record(
+            "http://a.example/page", "2024-03-01T00:00:00.250Z", b"",
+            warc_type="revisit",
+            refers_to_url="http://a.example/page",
+            refers_to_date="2024-01-01T00:00:00Z",
+            payload_digest=digest,
+        ),
+        build_warc_record(
+            "http://b.example/other", "2024-02-02T00:00:00Z", b"",
+            warc_type="revisit",
+            refers_to_url="http://b.example/other",
+            refers_to_date="2024-01-15T00:00:00Z",
+            payload_digest="sha1:OTHERDIGESTOTHERDIGESTOTHERDIGEST",
+        ),
+    ]
+    path = str(tmp_path / "revisit.warc.gz")
+    write_warc_gz([], path, extra_members=recs)
+
+    rv = read_warc_revisits(spark, path)
+    rows = rv.collect()
+    assert all(r.error is None for r in rows)
+    assert len(rows) == 3  # the response record is NOT a revisit row
+    a = [r for r in rows if r.url == "http://a.example/page"]
+    assert len(a) == 2
+    assert {r.refers_to_url for r in a} == {"http://a.example/page"}
+    assert {r.payload_digest for r in a} == {digest}
+    assert all(
+        r.profile.endswith("identical-payload-digest") for r in rows
+    )
+    assert all(r.refers_to_ts is not None for r in rows)
+    # fractional-second revisit date parsed, not nulled
+    assert all(r.warc_ts is not None for r in rows)
+
+    # response reader still sees exactly the one response record
+    resp = read_warc(spark, path).collect()
+    assert [r.url for r in resp] == ["http://a.example/page"]
+
+    # io="stream" parity
+    stream_rows = sorted(
+        (r.rec_offset, r.url)
+        for r in read_warc_revisits(spark, path, io="stream").collect()
+    )
+    assert stream_rows == sorted((r.rec_offset, r.url) for r in rows)
+
+    # dedup credit aggregation
+    credit = {
+        r.refers_to_url: r for r in revisit_counts(rv).collect()
+    }
+    assert credit["http://a.example/page"].n_revisits == 2
+    assert credit["http://b.example/other"].n_revisits == 1
+    ap = credit["http://a.example/page"]
+    assert str(ap.first_ts) < str(ap.last_ts)
+
+
+def test_read_warc_revisits_error_policy(spark, tmp_path):
+    """Corrupt member → one error row then end-this-file, matching the
+    response loop's policy."""
+    from dhtmlparser3_spark.sources.warc import read_warc_revisits
+
+    good = build_warc_record(
+        "http://a.example/x", "2024-01-01T00:00:00Z", b"",
+        warc_type="revisit", refers_to_url="http://a.example/x",
+        refers_to_date="2023-12-01T00:00:00Z",
+        payload_digest="sha1:AAAA",
+    )
+    import gzip as _gz
+
+    blob = _gz.compress(good, mtime=0) + b"\x1f\x8b\x08garbage-not-gzip"
+    path = str(tmp_path / "bad.warc.gz")
+    with open(path, "wb") as f:
+        f.write(blob)
+    rows = read_warc_revisits(spark, path).collect()
+    assert len(rows) == 2
+    ok = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert len(ok) == 1 and ok[0].url == "http://a.example/x"
+    assert len(bad) == 1 and bad[0].error.startswith("gzip:")
