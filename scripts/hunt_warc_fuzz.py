@@ -12,7 +12,11 @@ raw-deflate), then derives N corrupted shards per seed across four axes:
                          whose WARC headers are malformed.
 
 All shards are read back through the FULL Spark reader in one glob scan
-per seed.  Violations hunted (the module's documented error policy,
+per seed — and (gz layout) through ``read_warc_revisits`` too: each gz
+shard carries two trailing revisit records, so the revisit loop fuzzes
+over the same corruption axes (clean rows must be exactly the
+synthesized back-reference, early members must survive, error prefixes
+documented).  Violations hunted (the module's documented error policy,
 sources/warc.py):
 
   * a task failure (any corruption crashing the scan);
@@ -33,7 +37,15 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from dhtmlparser3_spark.plans.session import get_spark
-from dhtmlparser3_spark.sources.warc import read_warc, write_warc_gz
+from dhtmlparser3_spark.sources.warc import (
+    build_warc_record,
+    read_warc,
+    read_warc_revisits,
+    write_warc_gz,
+)
+
+REVISIT_URL = "http://revisit.example/page"
+REVISIT_DIGEST = "sha1:FUZZDIGESTFUZZDIGESTFUZZDIGESTFU"
 
 SEEDS = int(os.environ.get("HUNT_SEEDS", "8"))
 FILES = int(os.environ.get("HUNT_FILES", "64"))  # corrupted shards per seed
@@ -154,8 +166,20 @@ def main():
                 clean = os.path.join(td, "clean.warc")
                 offsets = write_warc_plain(docs, clean)
             else:
+                # gz layout also carries trailing revisit records so the
+                # revisit reader fuzzes over the same corruptions
+                revisits = [
+                    build_warc_record(
+                        REVISIT_URL, "2024-05-06T08:00:00Z", b"",
+                        warc_type="revisit",
+                        refers_to_url=REVISIT_URL,
+                        refers_to_date="2024-05-06T07:08:09Z",
+                        payload_digest=REVISIT_DIGEST,
+                    )
+                    for _ in range(2)
+                ]
                 clean = os.path.join(td, "clean.warc.gz")
-                offsets = write_warc_gz(docs, clean)
+                offsets = write_warc_gz(docs, clean, extra_members=revisits)
             blob = open(clean, "rb").read()
             os.unlink(clean)  # only corrupted shards in the glob
             expect = {}
@@ -171,11 +195,21 @@ def main():
                 open(os.path.join(td, name), "wb").write(data)
                 expect[name] = (must_have, warc_err)
             rows = read_warc(spark, td + "/*.warc*").collect()
+            rvrows = (
+                []
+                if plain_layout
+                else read_warc_revisits(spark, td + "/*.warc*").collect()
+            )
             total_files += FILES
-            total_rows += len(rows)
+            total_rows += len(rows) + len(rvrows)
             by_file = {}
             for r in rows:
                 by_file.setdefault(r.src_file.rsplit("/", 1)[-1], []).append(r)
+            rv_by_file = {}
+            for r in rvrows:
+                rv_by_file.setdefault(
+                    r.src_file.rsplit("/", 1)[-1], []
+                ).append(r)
             want_html = {u: h for (u, _d, h, _ce, _te) in docs}
             for name, (must_have, warc_err) in expect.items():
                 rs = by_file.get(name, [])
@@ -187,7 +221,7 @@ def main():
                         violations.append((seed, name, "byte-mismatch", r.url))
                 clean_urls = {r.url for r in ok}
                 for j in must_have:
-                    if docs[j][0] not in clean_urls:
+                    if j < len(docs) and docs[j][0] not in clean_urls:
                         violations.append((seed, name, "missing-early", j))
                 for r in errs:
                     if r.error.split(":")[0] not in ("gzip", "warc", "http"):
@@ -196,6 +230,34 @@ def main():
                     r.error.startswith("warc:") for r in errs
                 ):
                     violations.append((seed, name, "warc-error-lost", None))
+                # revisit reader over the SAME corrupted shard: clean rows
+                # must be exactly the synthesized back-reference; early
+                # revisit members must survive; error prefixes documented
+                rvs = rv_by_file.get(name, [])
+                rv_ok = [r for r in rvs if r.error is None]
+                rv_errs = [r for r in rvs if r.error is not None]
+                total_errs += len(rv_errs)
+                for r in rv_ok:
+                    if (
+                        r.url != REVISIT_URL
+                        or r.refers_to_url != REVISIT_URL
+                        or r.payload_digest != REVISIT_DIGEST
+                    ):
+                        violations.append(
+                            (seed, name, "revisit-mismatch", r.url)
+                        )
+                if not plain_layout:
+                    want_rv = sum(1 for j in must_have if j >= len(docs))
+                    if len(rv_ok) < want_rv:
+                        violations.append(
+                            (seed, name, "revisit-missing-early",
+                             (len(rv_ok), want_rv))
+                        )
+                for r in rv_errs:
+                    if r.error.split(":")[0] not in ("gzip", "warc"):
+                        violations.append(
+                            (seed, name, "revisit-bad-prefix", r.error)
+                        )
         print(
             f"seed {seed}: {FILES} shards, cumulative rows={total_rows} "
             f"errs={total_errs} violations={len(violations)} "
