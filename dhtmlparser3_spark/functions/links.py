@@ -283,3 +283,118 @@ def inlink_texts(links: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("dst", "anchor", "n", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def redirect_edges(captures: DataFrame) -> DataFrame:
+    """``read_warc``-shaped captures → (src, dst) redirect edges: each
+    clean 3xx capture points at its resolved ``Location`` target
+    (``redirect_to``, absolutized at ingest — sources/warc.py).  Map-only
+    column select; self-loops (a url 3xx-ing to its own spelling) drop
+    here so the chain resolver never manufactures a 1-cycle out of a
+    server that redirects to itself.  A src captured more than once (re-
+    crawls, A/B targets) keeps the lexically smallest dst — deterministic
+    across runs and partitionings, where ``dropDuplicates`` would not be —
+    and makes the edge list a FUNCTION, which the chain resolver's
+    pointer-jumping joins rely on to never multiply rows."""
+    return (
+        captures.where(
+            F.col("error").isNull()
+            & F.col("redirect_to").isNotNull()
+            & F.col("http_status").between(300, 399)
+            & (F.col("redirect_to") != F.col("url"))
+        )
+        .groupBy(F.col("url").alias("src"))
+        .agg(F.min("redirect_to").alias("dst"))
+    )
+
+
+def resolve_redirect_chains(edges: DataFrame, max_hops: int = 16) -> DataFrame:
+    """(src, dst) redirect edges → (src, final_url, hops, cycle): every
+    redirect SOURCE mapped to the end of its chain — the url a crawler
+    actually lands on — with the hop count, and ``cycle=true`` (final_url
+    NULL) for chains that never terminate within ``max_hops`` (redirect
+    loops: a→b→a, or chains longer than any real browser follows — RFC
+    9110 suggests clients cap around 5-20).
+
+    Pointer jumping, not per-hop walking: each round joins the current
+    pointer table with itself (``next(x) := next(next(x))`` where defined,
+    hops adding), so a chain of length L resolves in ceil(log2 L) rounds —
+    ceil(log2(max_hops)) self-joins total, NOT max_hops.  At CC scale the
+    edge list is ~10^9 rows (a tenth of captures) but only two urls + two
+    ints wide; each round is one shuffle join on the jump key, the same
+    log-round discipline as functions/graph.py's connected components.
+    ``dropDuplicates(src)`` in ``redirect_edges`` makes the pointer table
+    a function, so rounds cannot multiply rows.
+
+    A src whose chain exceeds ``max_hops`` hops without reaching a
+    non-source url is marked ``cycle`` — conservative: real loops and
+    absurdly long chains get the same "do not follow" verdict, which is
+    what a polite crawler does with both."""
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    # pointer table: src → (cur, hops) — where the chain stands and how
+    # many real edges were followed to get there
+    ptr = edges.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).alias("hops")
+    )
+    # jump function: src → (dst, jh) with jh = real edges the jump covers;
+    # doubled every round (jump2(x) = jump(jump(x)), jh adding) so the
+    # pointer advance stays exact
+    jump = edges.select("src", "dst", F.lit(1).alias("jh"))
+    for _ in range(rounds):
+        ptr = (
+            ptr.join(
+                jump.select(
+                    F.col("src").alias("cur"),
+                    F.col("dst").alias("cur2"),
+                    F.col("jh").alias("jh"),
+                ),
+                "cur",
+                "left",
+            )
+            .select(
+                "src",
+                F.coalesce(F.col("cur2"), F.col("cur")).alias("cur"),
+                (
+                    F.col("hops")
+                    + F.when(F.col("cur2").isNotNull(), F.col("jh"))
+                    .otherwise(F.lit(0))
+                ).alias("hops"),
+            )
+        )
+        jump = (
+            jump.alias("a")
+            .join(
+                jump.select(
+                    F.col("src").alias("dst"),
+                    F.col("dst").alias("dst2"),
+                    F.col("jh").alias("jh2"),
+                ).alias("b"),
+                "dst",
+                "left",
+            )
+            .select(
+                F.col("a.src").alias("src"),
+                F.coalesce(F.col("dst2"), F.col("dst")).alias("dst"),
+                (
+                    F.col("a.jh")
+                    + F.coalesce(F.col("jh2"), F.lit(0))
+                ).alias("jh"),
+            )
+        )
+    # after ceil(log2(max_hops)) doublings any terminating chain of ≤
+    # max_hops hops has its pointer on a non-source url; a pointer still
+    # sitting on a redirect source is a loop or an over-long chain
+    srcs = edges.select(F.col("src").alias("cur")).distinct()
+    return (
+        ptr.join(srcs.withColumn("_is_src", F.lit(True)), "cur", "left")
+        .select(
+            "src",
+            F.when(F.col("_is_src").isNull(), F.col("cur")).alias(
+                "final_url"
+            ),
+            F.least(F.col("hops"), F.lit(max_hops)).alias("hops"),
+            F.col("_is_src").isNotNull().alias("cycle"),
+        )
+    )
