@@ -31,7 +31,7 @@ pipeline curation surface around it, like quality_filters.py.)
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 from urllib.parse import quote, unquote, urlparse, urlunparse
 from urllib.robotparser import RobotFileParser
 
@@ -193,4 +193,60 @@ def robots_filter(
         robots_allowed(pages, rules, url_col, broadcast)
         .where(F.col("allowed"))
         .drop("allowed")
+    )
+
+
+def crawl_delay_of(text: str, agent: str = "*") -> Optional[float]:
+    """The politeness interval robots.txt asks of ``agent``, in seconds:
+    stdlib ``RobotFileParser.crawl_delay`` first (the ``Crawl-delay``
+    directive of the matching entry), else ``request_rate`` converted to
+    an interval (``Request-rate: 1/5`` → 5.0 s), else None (no directive
+    — the CALLER picks the polite default; robots silence is not
+    permission to hammer).  Non-numeric directives parse to None the way
+    the stdlib discards them."""
+    rp = RobotFileParser()
+    rp.parse(text.splitlines())
+    d = rp.crawl_delay(agent)
+    if d is not None:
+        try:
+            return float(d)
+        except (TypeError, ValueError):
+            return None
+    rr = rp.request_rate(agent)
+    if rr is not None and rr.requests:
+        return float(rr.seconds) / float(rr.requests)
+    return None
+
+
+def robots_delays(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(url, body) robots captures → ``(host, crawl_delay)`` — one row
+    per host with the agent-resolved politeness interval (seconds;
+    NULL when robots.txt states none).  Same map-only shape and same
+    deterministic min-by-url host dedup as ``robots_rules``; feed it to
+    ``pipeline.frontier.fetch_schedule``."""
+
+    @pandas_udf("double")
+    def delay_of(bodies: pd.Series) -> pd.Series:
+        out = []
+        for b in bodies:
+            if b is None:
+                out.append(None)
+                continue
+            if isinstance(b, (bytes, bytearray)):
+                b = bytes(b).decode("utf-8", errors="replace")
+            out.append(crawl_delay_of(b, agent))
+        return pd.Series(out, dtype="float64")
+
+    one_per_host = (
+        robots.select(
+            F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+            F.col("url"),
+            F.col("body"),
+        )
+        .where(F.col("host") != "")
+        .groupBy("host")
+        .agg(F.min_by("body", F.col("url")).alias("body"))
+    )
+    return one_per_host.select(
+        "host", delay_of(F.col("body")).alias("crawl_delay")
     )

@@ -115,3 +115,58 @@ def crawl_frontier(
     return frontier.select(
         "url", "canonical_url", "src_url", "lastmod", "priority"
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame = None,
+    default_delay: float = 1.0,
+    start_ts: str = "2024-01-01 00:00:00",
+    broadcast_delays: bool = False,
+) -> DataFrame:
+    """Frontier rows → a per-host POLITE fetch plan ``(url, host, slot,
+    fetch_ts)``: within each host, urls take consecutive slots spaced by
+    that host's crawl-delay, so the plan never asks one server for two
+    pages closer together than its robots.txt allows.
+
+    ``delays`` is ``functions.robots.robots_delays`` output
+    ``(host, crawl_delay)``; hosts absent from it or with a NULL delay
+    use ``default_delay`` seconds (robots silence is not permission to
+    hammer).  Slot order within a host is deterministic: sitemap
+    ``priority`` descending (NULL last — an advertised priority beats an
+    unstated one), then url — so re-runs and resumed crawls schedule
+    identically.
+
+    Scale shape: ONE exchange on host (the window's partition key) plus
+    a host join for delays (``broadcast_delays=True`` hints the tiny
+    delay table; at full scale the per-host rows this window handles are
+    exactly the rows one polite crawler worker owns anyway, so host
+    partitioning is the natural layout, not an overhead).  No global
+    ordering is imposed — a scheduler consuming the plan reads
+    ``fetch_ts`` per host shard."""
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    f = frontier.withColumn("host", host)
+    if delays is not None:
+        d = F.broadcast(delays) if broadcast_delays else delays
+        f = f.join(d, "host", "left")
+    else:
+        f = f.withColumn("crawl_delay", F.lit(None).cast("double"))
+    w = (
+        Window.partitionBy("host")
+        .orderBy(
+            F.col("priority").cast("double").desc_nulls_last(), F.col("url")
+        )
+    )
+    return (
+        f.withColumn("slot", F.row_number().over(w) - F.lit(1))
+        .select(
+            "url",
+            "host",
+            "slot",
+            F.timestamp_seconds(
+                F.to_timestamp(F.lit(start_ts)).cast("double")
+                + F.col("slot")
+                * F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+            ).alias("fetch_ts"),
+        )
+    )

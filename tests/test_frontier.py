@@ -3,6 +3,8 @@ canonical dedup → robots compliance → crawled anti-join."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dhtmlparser3_spark.pipeline.frontier import crawl_frontier
 
 SITEMAP_A = """<urlset>
@@ -206,3 +208,103 @@ def test_resolve_redirect_chains_random_graphs(spark):
             assert (gf, gc) == (wf, wc), (seed, s, got[s], (wf, wh, wc))
             if not wc:
                 assert gh == wh, (seed, s, got[s], (wf, wh, wc))
+
+
+# --- polite fetch scheduling --------------------------------------------------
+
+
+def test_fetch_schedule_per_host_politeness(spark):
+    """Slots within a host are spaced by its crawl-delay (default where
+    robots is silent), ordered priority-desc then url; hosts do not
+    interleave slots."""
+    from dhtmlparser3_spark.functions.robots import robots_delays
+    from dhtmlparser3_spark.pipeline.frontier import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            # host a: three urls, one with priority
+            ("http://a.example/p1", None),
+            ("http://a.example/p2", "0.9"),
+            ("http://a.example/p3", None),
+            # host b: two urls, no robots entry → default delay
+            ("http://b.example/x", None),
+            ("http://b.example/y", None),
+        ],
+        "url string, priority string",
+    ).withColumn("canonical_url", F.col("url")) \
+     .withColumn("src_url", F.lit("s")) \
+     .withColumn("lastmod", F.lit(None).cast("string"))
+    robots = spark.createDataFrame(
+        [("http://a.example/robots.txt", b"User-agent: *\nCrawl-delay: 10\n")],
+        "url string, body binary",
+    )
+    sched = {
+        r.url: r
+        for r in fetch_schedule(
+            frontier,
+            robots_delays(robots),
+            default_delay=2.0,
+            start_ts="2024-01-01 00:00:00",
+            broadcast_delays=True,
+        ).collect()
+    }
+    # priority 0.9 wins slot 0; then lexical url order
+    assert sched["http://a.example/p2"].slot == 0
+    assert sched["http://a.example/p1"].slot == 1
+    assert sched["http://a.example/p3"].slot == 2
+    # 10s spacing on host a
+    t = {u: sched[u].fetch_ts for u in sched}
+    assert (
+        t["http://a.example/p1"] - t["http://a.example/p2"]
+    ).total_seconds() == 10.0
+    assert (
+        t["http://a.example/p3"] - t["http://a.example/p1"]
+    ).total_seconds() == 10.0
+    # default 2s spacing on host b, starting at start_ts
+    assert sched["http://b.example/x"].slot == 0
+    assert str(t["http://b.example/x"]) == "2024-01-01 00:00:00"
+    assert (
+        t["http://b.example/y"] - t["http://b.example/x"]
+    ).total_seconds() == 2.0
+
+
+def test_fetch_schedule_composes_with_frontier(spark, tmp_path):
+    """End-to-end: sitemap + robots captures → frontier → schedule; the
+    disallowed url never reaches the plan, the crawl-delay paces what
+    does."""
+    from dhtmlparser3_spark.functions.robots import robots_delays
+    from dhtmlparser3_spark.pipeline.frontier import (
+        crawl_frontier,
+        fetch_schedule,
+    )
+
+    maps = spark.createDataFrame(
+        [(
+            "http://a.example/sitemap.xml",
+            b"<urlset>"
+            b"<url><loc>http://a.example/one</loc></url>"
+            b"<url><loc>http://a.example/two</loc>"
+            b"<priority>1.0</priority></url>"
+            b"<url><loc>http://a.example/private/x</loc></url>"
+            b"</urlset>",
+        )],
+        "url string, body binary",
+    )
+    robots = spark.createDataFrame(
+        [(
+            "http://a.example/robots.txt",
+            b"User-agent: *\nDisallow: /private/\nCrawl-delay: 5\n",
+        )],
+        "url string, body binary",
+    )
+    plan = fetch_schedule(
+        crawl_frontier(maps, robots_captures=robots),
+        robots_delays(robots),
+    ).collect()
+    by_url = {r.url: r for r in plan}
+    assert set(by_url) == {"http://a.example/one", "http://a.example/two"}
+    assert by_url["http://a.example/two"].slot == 0  # priority 1.0 first
+    assert (
+        by_url["http://a.example/one"].fetch_ts
+        - by_url["http://a.example/two"].fetch_ts
+    ).total_seconds() == 5.0

@@ -266,3 +266,61 @@ def test_curate_corpus_with_robots(spark):
     }
     assert got == want and len(got) > 0
     pages.unpersist()
+
+
+# --- crawl-delay extraction ---------------------------------------------------
+
+
+def test_crawl_delay_of_matches_stdlib():
+    from urllib.robotparser import RobotFileParser
+
+    from dhtmlparser3_spark.functions.robots import crawl_delay_of
+
+    cases = [
+        ("User-agent: *\nCrawl-delay: 7\n", "*"),
+        ("User-agent: *\nCrawl-delay: 2.5\n", "*"),
+        ("User-agent: bot\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 9\n",
+         "bot"),
+        ("User-agent: bot\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 9\n",
+         "other"),
+        ("User-agent: *\nRequest-rate: 1/5\n", "*"),
+        ("User-agent: *\nRequest-rate: 2/10\n", "*"),
+        ("User-agent: *\nDisallow: /x\n", "*"),
+        ("", "*"),
+        ("User-agent: *\nCrawl-delay: fast\n", "*"),  # non-numeric
+    ]
+    for text, agent in cases:
+        rp = RobotFileParser()
+        rp.parse(text.splitlines())
+        want = rp.crawl_delay(agent)
+        got = crawl_delay_of(text, agent)
+        if want is not None:
+            assert got == float(want), (text, agent, got, want)
+        else:
+            rr = rp.request_rate(agent)
+            if rr is not None and rr.requests:
+                assert got == rr.seconds / rr.requests, (text, agent, got)
+            else:
+                assert got is None, (text, agent, got)
+
+
+def test_robots_delays_per_host(spark):
+    from dhtmlparser3_spark.functions.robots import robots_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("http://slow.example/robots.txt",
+             b"User-agent: *\nCrawl-delay: 10\n"),
+            ("http://rate.example/robots.txt",
+             b"User-agent: *\nRequest-rate: 1/4\n"),
+            ("http://silent.example/robots.txt",
+             b"User-agent: *\nDisallow: /private/\n"),
+        ],
+        "url string, body binary",
+    )
+    got = {r.host: r.crawl_delay for r in robots_delays(robots).collect()}
+    assert got == {
+        "slow.example": 10.0,
+        "rate.example": 4.0,
+        "silent.example": None,
+    }
