@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dhtmlparser3_spark.functions.robots import robots_filter, robots_rules
-from dhtmlparser3_spark.functions.sitemap import sitemap_entries
+from dhtmlparser3_spark.functions.sitemap import (
+    sitemap_entries,
+    with_lastmod_ts,
+)
 from dhtmlparser3_spark.functions.urlnorm import with_canonical_url
 
 FRONTIER_SCHEMA = (
@@ -169,4 +172,71 @@ def fetch_schedule(
                 * F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
             ).alias("fetch_ts"),
         )
+    )
+
+
+def recrawl_candidates(
+    crawled: DataFrame,
+    sitemap_captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    broadcast_advertised: bool = False,
+) -> DataFrame:
+    """Freshness pass: pages the corpus HOLDS whose site advertises a
+    NEWER version — sitemap ``lastmod`` strictly after the stored
+    capture's ``warc_ts`` — as ``(url, canonical_url, warc_ts,
+    lastmod_ts, src_url)``.  The crawl loop's third input besides
+    discovery and compliance: ``crawl_frontier`` finds what the corpus
+    lacks, this finds what it holds stale.  ``url`` is the STORED
+    spelling (what to refetch/replace); the join is on the canonical
+    key, so a page crawled under one spelling and advertised under
+    another still matches.
+
+    Pages with no advertised lastmod, an unparseable lastmod, or
+    lastmod ≤ warc_ts don't appear — no signal is not staleness.
+    Duplicate advertisements keep the NEWEST parsed lastmod per
+    canonical url (a struct max — (lastmod_ts, src_url) lexicographic,
+    so equal timestamps tie-break deterministically on src_url — and the
+    conservative reading: any advertisement newer than the capture makes
+    it stale).
+
+    Scale shape: one canonical exchange per side into an equi-join —
+    ``broadcast_advertised=True`` hints the sitemap side (an incremental
+    sitemap re-fetch is tiny next to a 10^12-page corpus)."""
+    advertised = (
+        with_lastmod_ts(
+            sitemap_entries(sitemap_captures).where(
+                F.col("error").isNull() & (F.col("kind") == "url")
+            )
+        )
+        .where(F.col("lastmod_ts").isNotNull())
+        .select(
+            F.col("loc").alias("url"),
+            F.col("src_url").alias("src_url"),
+            "lastmod_ts",
+        )
+    )
+    advertised = (
+        with_canonical_url(advertised)
+        .groupBy("canonical_url")
+        .agg(
+            F.max(F.struct("lastmod_ts", "src_url")).alias("_m")
+        )
+        .select(
+            "canonical_url",
+            F.col("_m.lastmod_ts").alias("lastmod_ts"),
+            F.col("_m.src_url").alias("src_url"),
+        )
+    )
+    if broadcast_advertised:
+        advertised = F.broadcast(advertised)
+    held = with_canonical_url(
+        crawled.select(
+            F.col(url_col).alias("url"), F.col(ts_col).alias("warc_ts")
+        )
+    )
+    return (
+        held.join(advertised, "canonical_url")
+        .where(F.col("lastmod_ts") > F.col("warc_ts"))
+        .select("url", "canonical_url", "warc_ts", "lastmod_ts", "src_url")
     )

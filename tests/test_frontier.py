@@ -308,3 +308,66 @@ def test_fetch_schedule_composes_with_frontier(spark, tmp_path):
         by_url["http://a.example/one"].fetch_ts
         - by_url["http://a.example/two"].fetch_ts
     ).total_seconds() == 5.0
+
+
+# --- re-crawl (freshness) candidates ------------------------------------------
+
+
+def test_recrawl_candidates(spark):
+    """Stale = advertised lastmod strictly newer than the stored capture,
+    matched on the canonical key; no lastmod / unparseable / older →
+    absent; newest advertisement wins."""
+    import datetime as dt
+
+    from dhtmlparser3_spark.pipeline.frontier import recrawl_candidates
+
+    crawled = spark.createDataFrame(
+        [
+            # stored under a tracking-param spelling; advertised clean
+            ("http://a.example/stale?utm_source=x",
+             dt.datetime(2024, 1, 1, 0, 0, 0)),
+            ("http://a.example/fresh", dt.datetime(2024, 6, 1, 0, 0, 0)),
+            ("http://a.example/nolastmod", dt.datetime(2024, 1, 1)),
+            ("http://a.example/badlastmod", dt.datetime(2024, 1, 1)),
+            ("http://a.example/notadvertised", dt.datetime(2024, 1, 1)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    maps = spark.createDataFrame(
+        [
+            (
+                "http://a.example/sitemap.xml",
+                b"<urlset>"
+                b"<url><loc>http://a.example/stale</loc>"
+                b"<lastmod>2024-03-05</lastmod></url>"
+                b"<url><loc>http://a.example/fresh</loc>"
+                b"<lastmod>2024-02-01</lastmod></url>"
+                b"<url><loc>http://a.example/nolastmod</loc></url>"
+                b"<url><loc>http://a.example/badlastmod</loc>"
+                b"<lastmod>whenever</lastmod></url>"
+                b"</urlset>",
+            ),
+            # second sitemap advertises /stale OLDER — the newest
+            # advertisement (2024-03-05) must win
+            (
+                "http://a.example/sitemap2.xml",
+                b"<urlset>"
+                b"<url><loc>http://a.example/stale</loc>"
+                b"<lastmod>2024-01-02</lastmod></url>"
+                b"</urlset>",
+            ),
+        ],
+        "url string, body binary",
+    )
+    got = {
+        r.url: r
+        for r in recrawl_candidates(
+            crawled, maps, broadcast_advertised=True
+        ).collect()
+    }
+    # only the stale page appears, under its STORED spelling
+    assert set(got) == {"http://a.example/stale?utm_source=x"}
+    r = got["http://a.example/stale?utm_source=x"]
+    assert str(r.lastmod_ts) == "2024-03-05 00:00:00"
+    assert r.src_url == "http://a.example/sitemap.xml"
+    assert r.canonical_url == "http://a.example/stale"
