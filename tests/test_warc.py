@@ -1595,3 +1595,62 @@ def test_read_warc_revisits_error_policy(spark, tmp_path):
     bad = [r for r in rows if r.error is not None]
     assert len(ok) == 1 and ok[0].url == "http://a.example/x"
     assert len(bad) == 1 and bad[0].error.startswith("gzip:")
+
+
+# --- distributed WARC sink ----------------------------------------------------
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """Curated captures → write_warc shards → read_warc returns the same
+    (url, warc_ts, html) set byte-identically; error rows skip; empty
+    partitions publish no shard; manifest counts match."""
+    import datetime as dt
+
+    from dhtmlparser3_spark.sources.warc import read_warc, write_warc
+
+    rows = [
+        ("http://a.example/1", dt.datetime(2024, 1, 1, 0, 0, 0),
+         "<p>uno &amp; one</p>".encode()),
+        ("http://a.example/2", dt.datetime(2024, 2, 2, 2, 2, 2),
+         "<div>café</div>".encode()),
+        ("http://b.example/3", dt.datetime(2024, 3, 3, 3, 3, 3),
+         b"<!-- c --><b>bold"),
+        ("http://err.example/x", dt.datetime(2024, 4, 4), None),  # skips
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(3)
+    dest = str(tmp_path / "republish")
+    manifest = write_warc(df, dest).collect()
+
+    assert sum(m.records for m in manifest) == 3
+    import os
+
+    for m in manifest:
+        assert os.path.getsize(m.path) == m.bytes
+        assert m.path.endswith(".warc.gz")
+
+    back = read_warc(spark, dest + "/*.warc.gz").collect()
+    assert all(r.error is None for r in back)
+    got = {(r.url, str(r.warc_ts), bytes(r.html)) for r in back}
+    want = {
+        (u, str(ts), h) for u, ts, h in rows if h is not None
+    }
+    assert got == want
+    # identity-encoded 200s: status surfaced, no redirect/truncation
+    assert {r.http_status for r in back} == {200}
+    assert all(r.redirect_to is None and r.truncated is None for r in back)
+
+
+def test_write_warc_empty_partition_publishes_nothing(spark, tmp_path):
+    from dhtmlparser3_spark.sources.warc import write_warc
+
+    df = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary"
+    ).repartition(4)
+    dest = str(tmp_path / "empty")
+    manifest = write_warc(df, dest).collect()
+    assert manifest == []
+    import glob
+
+    assert glob.glob(dest + "/*.warc.gz") == []
