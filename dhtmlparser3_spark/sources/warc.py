@@ -2078,3 +2078,45 @@ def write_warc(
         )
 
     return cols.mapInArrow(run, WARC_MANIFEST_SCHEMA)
+
+
+def crawl_health(captures: DataFrame) -> DataFrame:
+    """Per-host crawl health off a ``read_warc`` frame: one row per host
+    with capture counts by status class plus decode-error and truncation
+    tallies — the monitoring view the status/truncated columns exist for
+    (a host whose 5xx or truncation share jumps is throttling or
+    failing the crawler; a host that is all 3xx moved).
+
+    Columns: ``host, n_captures, n_ok (2xx), n_redirect (3xx),
+    n_client_err (4xx), n_server_err (5xx), n_raw (clean non-HTTP
+    resource captures), n_errors (undecodable rows), n_truncated``.
+    Rows whose url is NULL (shard-level gzip/warc errors) group under a
+    NULL host — kept, not dropped: a shard that died mid-scan is the
+    loudest health signal there is.
+
+    One map-side-partial aggregation on host; the exchange carries a
+    handful of longs per host (~10^8 rows at CC scale, trivially
+    shuffleable)."""
+    cls = (F.col("http_status") / 100).cast("int")
+    clean = F.col("error").isNull()
+    return (
+        captures.groupBy(
+            F.regexp_extract(
+                F.coalesce(F.col("url"), F.lit("")), r"^https?://([^/]+)", 1
+            ).alias("host")
+        )
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.sum((clean & (cls == 2)).cast("long")).alias("n_ok"),
+            F.sum((clean & (cls == 3)).cast("long")).alias("n_redirect"),
+            F.sum((clean & (cls == 4)).cast("long")).alias("n_client_err"),
+            F.sum((clean & (cls == 5)).cast("long")).alias("n_server_err"),
+            F.sum(
+                (clean & F.col("http_status").isNull()).cast("long")
+            ).alias("n_raw"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
+            F.sum(
+                F.col("truncated").isNotNull().cast("long")
+            ).alias("n_truncated"),
+        )
+    )

@@ -1654,3 +1654,38 @@ def test_write_warc_empty_partition_publishes_nothing(spark, tmp_path):
     import glob
 
     assert glob.glob(dest + "/*.warc.gz") == []
+
+
+def test_crawl_health_per_host(spark, tmp_path):
+    """Status classes, raw captures, decode errors, and truncations
+    tally per host; shard-level errors land under an empty host."""
+    from dhtmlparser3_spark.sources.warc import crawl_health
+
+    recs = [
+        build_warc_record("http://a.example/1", "2024-01-01T00:00:00Z",
+                          b"<p>ok</p>"),
+        build_warc_record("http://a.example/2", "2024-01-01T00:00:01Z",
+                          b"<p>ok2</p>", truncated="length"),
+        build_warc_record("http://a.example/3", "2024-01-01T00:00:02Z", b"",
+                          status=301, reason="Moved", location="/x"),
+        build_warc_record("http://a.example/4", "2024-01-01T00:00:03Z",
+                          b"x", status=404, reason="Not Found"),
+        build_warc_record("http://b.example/5", "2024-01-01T00:00:04Z",
+                          b"y", status=503, reason="Unavailable"),
+        # undecodable content-encoding → error row for b.example
+        build_warc_record("http://b.example/6", "2024-01-01T00:00:05Z",
+                          b"z", content_encoding="br"),
+    ]
+    path = str(tmp_path / "health.warc.gz")
+    write_warc_gz([], path, extra_members=recs)
+    got = {
+        r.host: r for r in crawl_health(read_warc(spark, path)).collect()
+    }
+    a, b = got["a.example"], got["b.example"]
+    assert (a.n_captures, a.n_ok, a.n_redirect, a.n_client_err,
+            a.n_server_err, a.n_raw, a.n_errors, a.n_truncated) == (
+        4, 2, 1, 1, 0, 0, 0, 1
+    )
+    assert (b.n_captures, b.n_ok, b.n_server_err, b.n_errors) == (
+        2, 0, 1, 1
+    )
