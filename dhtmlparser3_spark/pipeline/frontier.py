@@ -240,3 +240,40 @@ def recrawl_candidates(
         .where(F.col("lastmod_ts") > F.col("warc_ts"))
         .select("url", "canonical_url", "warc_ts", "lastmod_ts", "src_url")
     )
+
+
+def sitemap_fetch_targets(
+    sitemap_captures: DataFrame,
+    crawled: DataFrame = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Discovery RECURSION for sitemap index files: the child-sitemap
+    locs the fetched sitemaps advertise (``sitemap_entries`` kind =
+    ``"sitemap"``), canonical-deduped (first spelling/source wins,
+    deterministic), minus those already fetched — i.e. the next round of
+    SITEMAP fetches, the same loop ``crawl_frontier`` runs for pages.
+    Output ``(url, canonical_url, src_url)``; feed the fetched results
+    back in until the frame is empty (real site indexes nest one or two
+    levels; the spec caps entries at 50k/file, so each round is a small
+    frame).  Same plan shape as the frontier: one parse pass, one
+    canonical exchange, one anti-join."""
+    kids = (
+        sitemap_entries(sitemap_captures)
+        .where(F.col("error").isNull() & (F.col("kind") == "sitemap"))
+        .select(
+            F.col("loc").alias("url"), F.col("src_url").alias("src_url")
+        )
+    )
+    canon = with_canonical_url(kids)
+    w = Window.partitionBy("canonical_url").orderBy("url", "src_url")
+    out = (
+        canon.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("url", "canonical_url", "src_url")
+    )
+    if crawled is not None:
+        seen = with_canonical_url(
+            crawled.select(F.col(url_col).alias("url"))
+        ).select("canonical_url").distinct()
+        out = out.join(seen, "canonical_url", "left_anti")
+    return out

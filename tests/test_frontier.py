@@ -371,3 +371,48 @@ def test_recrawl_candidates(spark):
     assert str(r.lastmod_ts) == "2024-03-05 00:00:00"
     assert r.src_url == "http://a.example/sitemap.xml"
     assert r.canonical_url == "http://a.example/stale"
+
+
+# --- sitemap index recursion --------------------------------------------------
+
+
+def test_sitemap_fetch_targets(spark):
+    """Child sitemaps from index files become the next fetch round:
+    canonical-deduped across spellings/sources, already-fetched children
+    anti-joined out, plain urlset files contribute nothing."""
+    from dhtmlparser3_spark.pipeline.frontier import sitemap_fetch_targets
+
+    maps = spark.createDataFrame(
+        [
+            (
+                "http://a.example/sitemap_index.xml",
+                b"<sitemapindex>"
+                b"<sitemap><loc>http://a.example/s1.xml</loc></sitemap>"
+                b"<sitemap><loc>HTTP://A.Example:80/s1.xml</loc></sitemap>"
+                b"<sitemap><loc>http://a.example/s2.xml</loc></sitemap>"
+                b"<sitemap><loc>http://a.example/done.xml</loc></sitemap>"
+                b"</sitemapindex>",
+            ),
+            (
+                "http://a.example/plain.xml",
+                b"<urlset><url><loc>http://a.example/p</loc></url></urlset>",
+            ),
+        ],
+        "url string, body binary",
+    )
+    fetched = spark.createDataFrame(
+        [("http://a.example/done.xml?utm_source=x",)], "url string"
+    )
+    got = {
+        r.canonical_url: r
+        for r in sitemap_fetch_targets(maps, crawled=fetched).collect()
+    }
+    assert set(got) == {
+        "http://a.example/s1.xml",
+        "http://a.example/s2.xml",
+    }
+    # two spellings of s1 collapsed; lexically-first spelling kept
+    assert got["http://a.example/s1.xml"].url == "HTTP://A.Example:80/s1.xml"
+    assert got["http://a.example/s2.xml"].src_url == (
+        "http://a.example/sitemap_index.xml"
+    )
