@@ -180,3 +180,90 @@ def test_warc_extract_plan_zero_exchanges(spark, tmp_path):
     assert "Exchange" not in plan, plan
     assert plan.count("MapInArrow") == 1, plan
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+@pytest.mark.spark
+def test_redirect_chain_plan_all_equi_joins(spark):
+    """resolve_redirect_chains must stay key-equi pointer jumping:
+    SortMergeJoin/BroadcastHashJoin only — a refactor that loses the
+    join keys would fall back to BroadcastNestedLoopJoin or a cartesian
+    and be quadratic at crawl scale."""
+    from dhtmlparser3_spark.functions.links import resolve_redirect_chains
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    plan = _plan(resolve_redirect_chains(edges, max_hops=16))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+
+
+@pytest.mark.spark
+def test_fetch_schedule_plan_single_host_window(spark):
+    """fetch_schedule is ONE window over the host key (plus the
+    broadcast delay join when hinted): exactly one Window node, no
+    global (empty-partition-spec) window, and the hinted delay join is
+    a BroadcastHashJoin."""
+    from dhtmlparser3_spark.pipeline.frontier import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [("http://a.example/x", "0.5")], "url string, priority string"
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 5.0)], "host string, crawl_delay double"
+    )
+    plan = _plan(
+        fetch_schedule(frontier, delays, broadcast_delays=True)
+    )
+    assert plan.count("Window") == 1, plan
+    # the host is the partition spec — losing it would move ALL rows to
+    # one partition (the WindowExec global-window warning shape)
+    assert "windowspecdefinition(host#" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.spark
+def test_write_warc_plan_zero_exchanges(spark):
+    """The WARC sink composes into its input stage: scan → project →
+    MapInArrow, no Exchange — a curation filter upstream would fuse into
+    the same stage."""
+    import datetime as dt
+
+    from dhtmlparser3_spark.sources.warc import write_warc
+
+    df = spark.createDataFrame(
+        [("http://a/1", dt.datetime(2024, 1, 1), b"<p>x</p>")],
+        "url string, warc_ts timestamp, html binary",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        plan = _plan(write_warc(df, td))
+        assert "Exchange" not in plan, plan
+        assert "MapInArrow" in plan, plan
+
+
+@pytest.mark.spark
+def test_crawl_health_plan_partial_aggregation(spark, tmp_path):
+    """crawl_health keeps the map-side partial aggregate: two
+    HashAggregate nodes around one Exchange on host."""
+    from dhtmlparser3_spark.sources.warc import (
+        build_warc_record,
+        crawl_health,
+        read_warc,
+        write_warc_gz,
+    )
+
+    path = str(tmp_path / "h.warc.gz")
+    write_warc_gz(
+        [], path,
+        extra_members=[
+            build_warc_record(
+                "http://a.example/1", "2024-01-01T00:00:00Z", b"<p>x</p>"
+            )
+        ],
+    )
+    plan = _plan(crawl_health(read_warc(spark, path)))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
