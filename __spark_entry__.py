@@ -968,6 +968,16 @@ def _q_exact_dups(spark, sf_dir):
     return exact_dup_groups(dedup_corpus(spark, sf_dir))
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (CCNet/RefinedWeb boilerplate-line
+    removal) over the lined corpus: every occurrence of any line present
+    in >= 25 distinct docs is dropped, docs reassembled in line order.
+    Full text crosses exactly one exchange (see dedup.py line_dedup)."""
+    from dhtmlparser3_spark.functions.dedup import line_dedup, lined_corpus
+
+    return line_dedup(lined_corpus(spark, sf_dir), min_docs=25)
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     """Brute-force n-gram Jaccard (the quadratic small-scale baseline and
     verifier) AND MinHash+LSH (the shipped bucket-grouped scale path) over
@@ -1543,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_ops": _q_url_ops,
         "fingerprints": _q_fingerprints,
         "exact_dups": _q_exact_dups,
+        "line_dedup": _q_line_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1729,6 +1740,62 @@ def _sql_fingerprints(k: int = 5, window: int = 4) -> str:
       )
       SELECT DISTINCT doc_id, wmin AS fingerprint
       FROM wm WHERE pos <= n - {window - 1}
+    """
+
+
+def _lined_sql() -> str:
+    """DuckDB twin of functions.dedup.lined_corpus (same constants)."""
+    from dhtmlparser3_spark.functions import dedup as dd
+
+    L = dd.LINE_TOKENS
+    body = (
+        f"array_to_string([array_to_string(list_slice(arr, i, i + {L - 1}),"
+        f" ' ') for i in generate_series(1, len(arr), {L})], chr(10))"
+    )
+    return f"""(
+      WITH arrs AS (SELECT doc_id, {_toks()} AS arr FROM documents),
+      bodies AS (SELECT doc_id, {body} AS body FROM arrs)
+      SELECT doc_id,
+        (CASE WHEN doc_id % {dd.HEADER_MOD} = 0
+              THEN '{dd.HEADER_LINE}' || chr(10) ELSE '' END)
+        || body
+        || (CASE WHEN doc_id % {dd.FOOTER_MOD} = 0
+                 THEN chr(10) || '{dd.FOOTER_LINE}' ELSE '' END)
+        || (CASE WHEN doc_id % {dd.PROMO_MOD} = 0
+                 THEN chr(10) || '{dd.PROMO_LINE}' ELSE '' END) AS text
+      FROM bodies
+    )"""
+
+
+def _sql_line_dedup(min_docs: int = 25) -> str:
+    lines_cte = (
+        "SELECT doc_id, unnest([{'ln': i - 1, 'line': parts[i]} "
+        "for i in generate_series(1, len(parts))], recursive := true) "
+        "FROM sp"
+    )
+    return f"""
+      WITH base AS {_lined_sql()},
+      sp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM base),
+      lines AS ({lines_cte}),
+      norm AS (SELECT doc_id, ln AS line_no, line,
+                      lower(trim(line)) AS k FROM lines),
+      dup AS (
+        SELECT k FROM (
+          SELECT k, count(DISTINCT doc_id) AS nd
+          FROM norm WHERE k <> '' GROUP BY k
+        ) WHERE nd >= {min_docs}
+      ),
+      marked AS (
+        SELECT n.doc_id, n.line_no, n.line,
+               (n.k <> '' AND d.k IS NOT NULL) AS dropped
+        FROM norm n LEFT JOIN dup d ON n.k = d.k
+      )
+      SELECT doc_id,
+        coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                 FILTER (WHERE NOT dropped), '') AS clean_text,
+        count(*)::INT AS n_lines,
+        sum(CASE WHEN dropped THEN 1 ELSE 0 END)::INT AS n_removed
+      FROM marked GROUP BY doc_id
     """
 
 
@@ -2225,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "url_ops": _sql_url_ops(),
                 "fingerprints": _sql_fingerprints(),
         "exact_dups": _sql_exact_dups(),
+        "line_dedup": _sql_line_dedup(),
         # brute and LSH+verify must produce the IDENTICAL pair set (see
         # dedup.py) — the oracle asserts the same pairs once per label
         "jaccard_pairs": f"""

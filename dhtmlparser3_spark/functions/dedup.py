@@ -609,3 +609,188 @@ def simhash_pairs(
     out._overflow_observation = buckets._overflow_observation
     out._overflow_truncating = buckets._overflow_truncating
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (boilerplate-line removal)
+#
+# The line-level twin of exact_dup_groups: web corpora carry navigation /
+# footer / cookie-notice lines repeated across millions of pages, and the
+# standard curation move (CCNet, Wenzek et al. 2019, §4.1 "paragraph-level
+# dedup"; RefinedWeb, Penedo et al. 2023, §3.2 line-wise filtering) is to
+# drop every occurrence of any line that appears in >= min_docs distinct
+# documents.  Not a reference operator — reference scope is the parse that
+# PRODUCES the text (content_str, src/dhtmlparser3/__init__.py:24-26); this
+# is the curation stage immediately downstream.
+#
+# Design for 10^12 docs: the full text crosses the wire exactly ONCE (the
+# final doc_id join).  Everything before that moves 16-byte md5 keys only:
+# posexplode projects (id, line_no, key) and drops the line text in the same
+# map stage; duplicate keys come from a distinct + count on (key, doc_id);
+# the drop-list join carries (id, line_no) pairs for duplicated lines only.
+# Reassembly re-splits the ORIGINAL text map-side and filters by position —
+# no line text is ever shuffled, so a 100 TB corpus shuffles ~100 TB once
+# instead of three times.  Pure codegen end to end (no Python UDFs).
+# ---------------------------------------------------------------------------
+
+# lined_corpus constants (mirrored in the DuckDB oracle SQL)
+LINE_TOKENS = 6
+HEADER_MOD, FOOTER_MOD, PROMO_MOD = 4, 3, 5
+HEADER_LINE = "cookie notice click to accept"
+FOOTER_LINE = "all rights reserved contact us"
+PROMO_LINE = "subscribe to our newsletter today"
+
+
+def lined_corpus(
+    spark: SparkSession, sf_dir: str, tokens_per_line: int = LINE_TOKENS
+) -> DataFrame:
+    """documents reshaped into multi-line texts + injected boilerplate.
+
+    The synthetic corpus is single-line, so line dedup would degenerate to
+    whole-document dedup; this reshapes each text into lines of
+    ``tokens_per_line`` whitespace tokens and injects deterministic
+    boilerplate (header on doc_id%4==0, footer on %3==0, promo on %5==0 —
+    prepend/append in that order), giving the correctness gate real
+    cross-document duplicate lines.  Closed-form, mirrored by the oracle.
+    """
+    from dhtmlparser3_spark.plans.layout import spread
+
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    toks = tokens_col("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(tokens_per_line)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * tokens_per_line + 1, tokens_per_line), " "
+            ),
+        ),
+        "\n",
+    )
+    # guard the empty-text edge (sequence(0,-1) would count DOWN)
+    body = F.when(F.size(toks) == 0, F.lit("")).otherwise(body)
+    did = F.col("doc_id")
+    text = F.when(
+        did % HEADER_MOD == 0, F.concat(F.lit(HEADER_LINE + "\n"), body)
+    ).otherwise(body)
+    text = F.when(
+        did % FOOTER_MOD == 0, F.concat(text, F.lit("\n" + FOOTER_LINE))
+    ).otherwise(text)
+    text = F.when(
+        did % PROMO_MOD == 0, F.concat(text, F.lit("\n" + PROMO_LINE))
+    ).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _line_keys(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, line_no, line_key) for every NON-BLANK line — text dropped in
+    the same map stage, so only 16-byte keys reach any exchange.  The key
+    is md5 of the whitespace-trimmed, case-folded line (CCNet-style
+    normalization: 'Contact Us' and 'contact us ' are the same boilerplate);
+    blank-after-trim lines are structure, not boilerplate, and never count."""
+    norm = F.lower(F.trim("line"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+                "line_no", "line"
+            ),
+        )
+        .where(F.trim("line") != "")
+        .select(id_col, "line_no", F.md5(norm).alias("line_key"))
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_dups: bool = False,
+) -> DataFrame:
+    """Remove every occurrence of any line appearing in >= min_docs docs.
+
+    Returns one row per input doc: (id, clean_text, n_lines, n_removed).
+    Docs whose every line is boilerplate come back with clean_text = ''
+    (the quality floor downstream drops them); blank lines are always kept.
+
+    ``broadcast_dups=True`` broadcasts the duplicated-key table into the
+    drop-list join — right when the threshold is high enough that the dup
+    set is small (a few million boilerplate lines); the default shuffle
+    join is the safe choice when min_docs is low and the dup set can be a
+    meaningful fraction of all distinct lines.
+    """
+    keyed = _line_keys(df, id_col, text_col)
+    dup_keys = (
+        keyed.select("line_key", id_col)
+        .distinct()
+        .groupBy("line_key")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line_key")
+    )
+    if broadcast_dups:
+        dup_keys = F.broadcast(dup_keys)
+    drops = (
+        keyed.join(dup_keys, "line_key")
+        .groupBy(id_col)
+        .agg(F.collect_set("line_no").alias("drop_lines"))
+    )
+    lines = F.split(F.col(text_col), "\n", -1)
+    clean = F.when(F.col("drop_lines").isNull(), F.col(text_col)).otherwise(
+        F.array_join(
+            F.filter(
+                lines,
+                lambda x, i: ~F.array_contains(F.col("drop_lines"), i),
+            ),
+            "\n",
+        )
+    )
+    return df.join(drops, id_col, "left").select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.coalesce(F.size("drop_lines"), F.lit(0)).alias("n_removed"),
+    )
+
+
+def line_dup_stats(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The monitoring view: which lines ARE the corpus boilerplate.
+
+    One row per duplicated normalized line: (line_key, n_docs,
+    n_occurrences, sample_line).  Exact counts via a two-level aggregation
+    (per (key, doc) partials first — no expand, no giant collect_set), and
+    the line text rides the agg as a min() exemplar so the report is
+    readable without a second corpus pass."""
+    norm = F.lower(F.trim("line"))
+    keyed = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+        )
+        .where(F.trim("line") != "")
+        .select("doc_id", F.md5(norm).alias("line_key"), "line")
+    )
+    per_doc = keyed.groupBy("line_key", "doc_id").agg(
+        F.count("*").alias("n_occ"), F.min("line").alias("line")
+    )
+    return (
+        per_doc.groupBy("line_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_occ").alias("n_occurrences"),
+            F.min("line").alias("sample_line"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
