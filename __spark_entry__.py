@@ -968,6 +968,17 @@ def _q_exact_dups(spark, sf_dir):
     return exact_dup_groups(dedup_corpus(spark, sf_dir))
 
 
+def _q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality tier: bigram model trained on the
+    deterministic doc_id%10<3 reference slice, every doc scored with
+    exact integer micro-nat log-probs and bucketed head/middle/tail
+    (thresholds in integer cross-multiplied form — reduction-order-proof,
+    reproduced bit-exactly by the DuckDB oracle)."""
+    from dhtmlparser3_spark.functions.lm import lm_quality
+
+    return lm_quality(_docs(spark, sf_dir))
+
+
 def _q_line_dedup(spark, sf_dir):
     """Cross-document line dedup (CCNet/RefinedWeb boilerplate-line
     removal) over the lined corpus: every occurrence of any line present
@@ -1554,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "exact_dups": _q_exact_dups,
         "line_dedup": _q_line_dedup,
+        "lm_quality": _q_lm_quality,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1796,6 +1808,55 @@ def _sql_line_dedup(min_docs: int = 25) -> str:
         count(*)::INT AS n_lines,
         sum(CASE WHEN dropped THEN 1 ELSE 0 END)::INT AS n_removed
       FROM marked GROUP BY doc_id
+    """
+
+
+def _sql_lm_quality() -> str:
+    from dhtmlparser3_spark.functions import lm
+
+    bigrams = (
+        "[arr[i] || ' ' || arr[i + 1] "
+        "for i in generate_series(1, len(arr) - 1)]"
+    )
+    return f"""
+      WITH alldocs AS (
+        SELECT doc_id, {_toks()} AS arr FROM documents
+      ),
+      tb AS (
+        SELECT unnest({bigrams}) AS bigram
+        FROM alldocs WHERE doc_id % {10} < {3} AND len(arr) >= 2
+      ),
+      counts AS (SELECT bigram, count(*)::BIGINT AS n FROM tb GROUP BY bigram),
+      tot AS (SELECT sum(n)::BIGINT AS total FROM counts),
+      model AS (
+        SELECT bigram,
+               round(ln(n::DOUBLE / total::DOUBLE) * {lm.SCALE})::BIGINT AS lp
+        FROM counts, tot
+      ),
+      dbg AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(arr) >= 2 THEN {bigrams}
+                           ELSE [CAST(NULL AS VARCHAR)] END) AS bigram
+        FROM alldocs
+      ),
+      scored AS (
+        SELECT d.doc_id,
+               count(d.bigram)::INT AS n_bigrams,
+               coalesce(sum(CASE WHEN d.bigram IS NULL THEN 0
+                    ELSE coalesce(m.lp,
+                         round(ln(1.0 / (total + 1)) * {lm.SCALE})::BIGINT)
+                    END), 0)::BIGINT AS sum_lp_micro
+        FROM dbg d LEFT JOIN model m ON d.bigram = m.bigram, tot
+        GROUP BY d.doc_id
+      )
+      SELECT doc_id, n_bigrams, sum_lp_micro,
+             CASE WHEN n_bigrams = 0 THEN 'empty'
+                  WHEN sum_lp_micro >= {lm.T_HEAD}::BIGINT * n_bigrams
+                       THEN 'head'
+                  WHEN sum_lp_micro >= {lm.T_MIDDLE}::BIGINT * n_bigrams
+                       THEN 'middle'
+                  ELSE 'tail' END AS lm_bucket
+      FROM scored
     """
 
 
@@ -2293,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
                 "fingerprints": _sql_fingerprints(),
         "exact_dups": _sql_exact_dups(),
         "line_dedup": _sql_line_dedup(),
+        "lm_quality": _sql_lm_quality(),
         # brute and LSH+verify must produce the IDENTICAL pair set (see
         # dedup.py) — the oracle asserts the same pairs once per label
         "jaccard_pairs": f"""
