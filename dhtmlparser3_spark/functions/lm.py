@@ -125,13 +125,19 @@ def lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = True,
+    t_head: int = T_HEAD,
+    t_middle: int = T_MIDDLE,
 ) -> DataFrame:
     """Per-doc LM quality: (id, n_bigrams, sum_lp_micro, lm_bucket).
 
     ``sum_lp_micro`` is the exact integer sum of the doc's bigram
     log-probs (OOV bigrams take the frozen penalty); buckets compare
-    mean log-prob against T_HEAD/T_MIDDLE in integer cross-multiplied
-    form (``sum >= T * n``), so the verdict is reduction-order-proof.
+    mean log-prob against ``t_head``/``t_middle`` in integer
+    cross-multiplied form (``sum >= T * n``), so the verdict is
+    reduction-order-proof.  The module defaults are calibrated to the
+    sandbox corpus; thresholds are model-relative quantities (CCNet cuts
+    at percentiles of the reference LM), so a different reference corpus
+    should pass its own.
     ``broadcast_model=False`` falls back to a shuffle join for a model
     too big to broadcast (e.g. char-5-gram tables at full CC scale).
     """
@@ -157,8 +163,8 @@ def lm_score(
     s = F.col("sum_lp_micro")
     bucket = (
         F.when(F.col("n_bigrams") == 0, F.lit("empty"))
-        .when(s >= F.lit(T_HEAD) * n, F.lit("head"))
-        .when(s >= F.lit(T_MIDDLE) * n, F.lit("middle"))
+        .when(s >= F.lit(int(t_head)) * n, F.lit("head"))
+        .when(s >= F.lit(int(t_middle)) * n, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return scored.select(
@@ -175,10 +181,15 @@ def lm_quality(
     text_col: str = "text",
     train_mod: int = 10,
     train_keep: int = 3,
+    t_head: int = T_HEAD,
+    t_middle: int = T_MIDDLE,
 ) -> DataFrame:
     """Composed tier: train on the deterministic ``id % train_mod <
     train_keep`` slice (the 'trusted reference' stand-in — at a real
     deployment this is a wiki-quality corpus), score every doc."""
     train = df.where(F.col(id_col) % train_mod < train_keep)
     model, total = bigram_model(train, text_col)
-    return lm_score(df, model, total, id_col=id_col, text_col=text_col)
+    return lm_score(
+        df, model, total, id_col=id_col, text_col=text_col,
+        t_head=t_head, t_middle=t_middle,
+    )

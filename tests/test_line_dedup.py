@@ -174,3 +174,52 @@ def test_line_dedup_text_shuffles_once(spark):
     carrying = [s for s in exch if re.search(r"\btext#\d+", s)]
     assert len(exch) >= 3, plan  # the counting pipeline is really there
     assert len(carrying) == 1, plan
+
+
+@pytest.mark.spark
+def test_curate_composition_line_stage(spark):
+    """line_dedup plugs into curate_corpus between extract and quality:
+    boilerplate lines stop counting toward n_tokens, and a doc that was
+    ONLY boilerplate falls out at the quality floor."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dhtmlparser3_spark.pipeline.curate import curate_corpus
+
+    ts = datetime.datetime(2024, 1, 1)
+    footer = "subscribe to the footer newsletter"
+    rows = []
+    for i in range(12):
+        body = f"<p>unique article text number {i} with words</p>"
+        html = f"<html>{body}\n<p>{footer}</p></html>"
+        rows.append((f"http://h/{i}", ts, html.encode(), None, "en"))
+    # one page that is ONLY the footer
+    rows.append(
+        (
+            "http://h/only-footer",
+            ts,
+            f"<html><p>{footer}</p></html>".encode(),
+            None,
+            "en",
+        )
+    )
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    base = {
+        r["url"]: r["n_tokens"]
+        for r in curate_corpus(pages, min_quality=1).collect()
+    }
+    got = {
+        r["url"]: r["n_tokens"]
+        for r in curate_corpus(
+            pages, min_quality=1, line_dedup_min_docs=5
+        ).collect()
+    }
+    n_footer_toks = len(footer.split())
+    assert "http://h/only-footer" in base
+    assert "http://h/only-footer" not in got  # '' text -> quality 0
+    for i in range(12):
+        u = f"http://h/{i}"
+        assert got[u] == base[u] - n_footer_toks, u

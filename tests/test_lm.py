@@ -148,3 +148,60 @@ def test_lm_score_plan_broadcast_no_python(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_sum" in plan or "partial sum" in plan.lower(), plan
+
+
+@pytest.mark.spark
+def test_curate_composition_lm_stage(spark):
+    """lm_reference plugs into curate_corpus: docs whose bigrams are
+    alien to the reference corpus land in 'tail' and are dropped; docs
+    that read like the reference survive."""
+    import datetime
+
+    from dhtmlparser3_spark.pipeline.curate import curate_corpus
+
+    ts = datetime.datetime(2024, 1, 1)
+    prose = "the quick brown fox jumps over the lazy dog and runs home"
+    rows = []
+    for i in range(8):
+        rows.append(
+            (
+                f"http://h/good{i}",
+                ts,
+                f"<html><p>{prose} {prose}</p></html>".encode(),
+                None,
+                "en",
+            )
+        )
+    rows.append(
+        (
+            "http://h/gibberish",
+            ts,
+            b"<html><p>zxq wvv qqj kpt zxq wvv qqj kpt zxq wvv</p></html>",
+            None,
+            "en",
+        )
+    )
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    ref = spark.createDataFrame(
+        [(i, prose) for i in range(20)], "doc_id int, text string"
+    )
+    base = {
+        r["url"]
+        for r in curate_corpus(pages, min_quality=0).collect()
+    }
+    # toy-model-scale thresholds: in-model bigrams score ~ln(1/11) ≈
+    # -2.4M micro-nats, OOV ≈ ln(1/221) ≈ -5.4M — cut between them
+    got = {
+        r["url"]
+        for r in curate_corpus(
+            pages,
+            min_quality=0,
+            lm_reference=ref,
+            lm_thresholds=(-3_000_000, -5_000_000),
+        ).collect()
+    }
+    assert "http://h/gibberish" in base
+    assert "http://h/gibberish" not in got
+    assert any(u.startswith("http://h/good") for u in got)
