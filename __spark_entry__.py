@@ -989,6 +989,16 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(lined_corpus(spark, sf_dir), min_docs=25)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2021) over the dedup corpus:
+    every 8-token sequence occurring >=2 times corpus-wide is cut from
+    all docs.  Positional k-gram hashes shuffle; text crosses one
+    exchange (see dedup.py dup_spans)."""
+    from dhtmlparser3_spark.functions.dedup import dedup_corpus, dup_spans
+
+    return dup_spans(dedup_corpus(spark, sf_dir), k=8, min_occ=2)
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     """Brute-force n-gram Jaccard (the quadratic small-scale baseline and
     verifier) AND MinHash+LSH (the shipped bucket-grouped scale path) over
@@ -1566,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": _q_exact_dups,
         "line_dedup": _q_line_dedup,
         "lm_quality": _q_lm_quality,
+        "dup_spans": _q_dup_spans,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1857,6 +1868,53 @@ def _sql_lm_quality() -> str:
                        THEN 'middle'
                   ELSE 'tail' END AS lm_bucket
       FROM scored
+    """
+
+
+def _sql_dup_spans(k: int = 8, min_occ: int = 2) -> str:
+    kgram = (
+        "[{'p': p, 'h': md5(array_to_string(arr[p + 1 : p + "
+        f"{k}], ' '))}}"
+        f" for p in generate_series(0, len(arr) - {k})]"
+    )
+    tok_structs = (
+        "[{'i': i, 'tok': arr[i]} for i in generate_series(1, len(arr))]"
+    )
+    return f"""
+      WITH base AS (SELECT doc_id, {_toks()} AS arr FROM {_corpus_sql()}),
+      pos AS (
+        SELECT doc_id, unnest({kgram}, recursive := true)
+        FROM base WHERE len(arr) >= {k}
+      ),
+      dup AS (
+        SELECT h FROM (SELECT h, count(*) AS c FROM pos GROUP BY h)
+        WHERE c >= {min_occ}
+      ),
+      marked AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos JOIN dup USING (h)),
+      covered AS (
+        SELECT DISTINCT doc_id, p + o AS idx
+        FROM marked, generate_series(0, {k - 1}) AS g(o)
+      ),
+      toks AS (
+        SELECT doc_id, unnest({tok_structs}, recursive := true)
+        FROM base
+      ),
+      scored AS (
+        SELECT t.doc_id,
+               count(*)::INT AS n_tokens,
+               sum(CASE WHEN c.idx IS NULL THEN 0 ELSE 1 END)::INT
+                 AS n_removed,
+               coalesce(string_agg(t.tok, ' ' ORDER BY t.i)
+                        FILTER (WHERE c.idx IS NULL), '') AS clean_text
+        FROM toks t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.i - 1 = c.idx
+        GROUP BY t.doc_id
+      )
+      SELECT b.doc_id,
+             coalesce(s.clean_text, '') AS clean_text,
+             coalesce(s.n_tokens, 0)::INT AS n_tokens,
+             coalesce(s.n_removed, 0)::INT AS n_removed
+      FROM base b LEFT JOIN scored s ON b.doc_id = s.doc_id
     """
 
 
@@ -2355,6 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dups": _sql_exact_dups(),
         "line_dedup": _sql_line_dedup(),
         "lm_quality": _sql_lm_quality(),
+        "dup_spans": _sql_dup_spans(),
         # brute and LSH+verify must produce the IDENTICAL pair set (see
         # dedup.py) — the oracle asserts the same pairs once per label
         "jaccard_pairs": f"""

@@ -794,3 +794,91 @@ def line_dup_stats(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span removal (exact-substring dedup, token granularity)
+#
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better": any >= k-token sequence that occurs more than once in the
+# corpus is duplicated text (memorization fuel) and is cut from the
+# documents.  The paper builds a corpus-level suffix array offline; the
+# Spark-native equivalent hashes the k-gram AT EVERY TOKEN POSITION —
+# O(tokens) rows of (doc, pos, 16-byte hash), which is exactly the kind
+# of mass a shuffle handles, while the text itself never moves until the
+# single final doc_id join (same discipline as line_dedup above).
+#
+# Removal rule: every position whose k-gram hash is duplicated is marked,
+# and every token covered by a marked window [p, p+k) is dropped — i.e.
+# ALL occurrences are removed (the paper keeps one occurrence of each
+# duplicated substring; removing all is the strictly-deterministic
+# variant — no tie-break on which copy survives — and is what makes the
+# operator reproducible across engines and cluster sizes).
+#
+# The operator is TOKEN-level: output text is the space-join of surviving
+# tokens (original inter-token whitespace is not preserved — the paper's
+# setting is tokenized corpora; run it after extract/normalization).
+# ---------------------------------------------------------------------------
+
+
+def dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_occ: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut every duplicated >=k-token span: (id, clean_text, n_tokens,
+    n_removed).
+
+    A k-gram counts as duplicated when it occurs >= ``min_occ`` times
+    corpus-wide (occurrences, not documents — a sequence repeated inside
+    ONE doc is duplicated text too, per the paper).  Docs shorter than k
+    tokens are untouched; a doc that is entirely duplicated text comes
+    back with clean_text = ''.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    pos_structs = F.when(
+        n < k, F.array().cast("array<struct<pos:int,h:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, p + 1, k), " ")).alias(
+                    "h"
+                ),
+            ),
+        )
+    )
+    pos = df.select(F.col(id_col), F.explode(pos_structs).alias("s")).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_occ)
+        .select("h")
+    )
+    marked = (
+        pos.join(dup, "h")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("dup_pos"))
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("dup_pos"), lambda p: (p <= i) & (i < p + F.lit(k))
+        ),
+    )
+    clean = F.when(
+        F.col("dup_pos").isNull(), F.array_join(toks, " ")
+    ).otherwise(F.array_join(kept, " "))
+    n_kept = F.when(F.col("dup_pos").isNull(), n).otherwise(F.size(kept))
+    return df.join(marked, id_col, "left").select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n.cast("int").alias("n_tokens"),
+        (n - n_kept).cast("int").alias("n_removed"),
+    )
