@@ -623,6 +623,12 @@ def simhash_pairs(
 # PRODUCES the text (content_str, src/dhtmlparser3/__init__.py:24-26); this
 # is the curation stage immediately downstream.
 #
+# Key width (here and in dup_spans below): line/k-gram identities travel
+# as md5 (128-bit).  xxhash64 would halve the shuffle bytes, but 64-bit
+# keys birthday-collide at 10^12-position scale (~3% chance of one false
+# merge corpus-wide); 128-bit makes that ~1e-14 — correctness first, and
+# the keys are still ~4x narrower than typical line text.
+#
 # Design for 10^12 docs: the full text crosses the wire exactly ONCE (the
 # final doc_id join).  Everything before that moves 16-byte md5 keys only:
 # posexplode projects (id, line_no, key) and drops the line text in the same

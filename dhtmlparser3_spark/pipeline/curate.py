@@ -3,6 +3,7 @@
     pages ──[robots filter (pre-parse host join)]───► allowed pages
           ──extract (salted, Arrow-batched parse)──► main_text
           ──[cross-doc line dedup (opt-in)]─────────► boilerplate-free text
+          ──[exact-substring span dedup (opt-in)]───► memorization-fuel cut
           ──[LM quality bucket filter (opt-in)]─────► prose-like docs
           ──quality scoring (pure columnar)────────► counters + score
           ──filter (quality floor)─────────────────► kept docs
@@ -36,6 +37,7 @@ def curate_corpus(
     robots: DataFrame = None,
     agent: str = "*",
     line_dedup_min_docs: int = None,
+    dup_span_k: int = None,
     lm_reference: DataFrame = None,
     lm_keep_buckets: Sequence[str] = ("head", "middle"),
     lm_thresholds: Sequence[int] = None,
@@ -54,6 +56,11 @@ def curate_corpus(
     scoring / exact dedup — the order matters: boilerplate inflates
     token counts and makes near-identical articles hash differently, so
     removing it first improves both downstream stages (CCNet §4.1).
+
+    ``dup_span_k``: when set, exact-substring dedup (Lee et al. 2021)
+    cuts every >=k-token sequence occurring more than once corpus-wide,
+    after the line stage — note its output is token-joined text
+    (functions/dedup.py dup_spans), so it normalizes whitespace.
 
     ``lm_reference``: optional (doc_id, text) trusted corpus — when
     given, a bigram LM is trained on it and docs whose lm_bucket is not
@@ -78,6 +85,12 @@ def curate_corpus(
         docs = line_dedup(
             docs, min_docs=line_dedup_min_docs, id_col="url"
         ).select("url", F.col("clean_text").alias("text"))
+    if dup_span_k is not None:
+        from dhtmlparser3_spark.functions.dedup import dup_spans
+
+        docs = dup_spans(docs, k=dup_span_k, id_col="url").select(
+            "url", F.col("clean_text").alias("text")
+        )
     if lm_reference is not None:
         from dhtmlparser3_spark.functions.lm import bigram_model, lm_score
 

@@ -110,3 +110,35 @@ def test_dup_spans_text_shuffles_once(spark):
     carrying = [s for s in exch if re.search(r"\btext#\d+", s)]
     assert len(exch) >= 3, plan
     assert len(carrying) == 1, plan
+
+
+@pytest.mark.spark
+def test_curate_composition_span_stage(spark):
+    """dup_spans plugs into curate_corpus after the line stage: a long
+    sequence shared by two pages is cut from both before quality/dedup."""
+    import datetime
+
+    from dhtmlparser3_spark.pipeline.curate import curate_corpus
+
+    ts = datetime.datetime(2024, 1, 1)
+    shared = "one two three four five six seven eight"
+    rows = [
+        ("http://h/a", ts, f"<html><p>alpha opening words {shared}</p></html>".encode(), None, "en"),
+        ("http://h/b", ts, f"<html><p>{shared} beta closing words</p></html>".encode(), None, "en"),
+        ("http://h/c", ts, b"<html><p>entirely unrelated page body text</p></html>", None, "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    base = {
+        r["url"]: r["n_tokens"]
+        for r in curate_corpus(pages, min_quality=1).collect()
+    }
+    got = {
+        r["url"]: r["n_tokens"]
+        for r in curate_corpus(pages, min_quality=1, dup_span_k=8).collect()
+    }
+    n_shared = len(shared.split())
+    assert got["http://h/a"] == base["http://h/a"] - n_shared
+    assert got["http://h/b"] == base["http://h/b"] - n_shared
+    assert got["http://h/c"] == base["http://h/c"]
