@@ -223,3 +223,21 @@ def test_curate_composition_line_stage(spark):
     for i in range(12):
         u = f"http://h/{i}"
         assert got[u] == base[u] - n_footer_toks, u
+
+
+@pytest.mark.spark
+def test_line_dedup_idempotent(spark):
+    """Removing boilerplate can't create boilerplate: remaining lines
+    kept their (unchanged) doc counts < min_docs, so a second pass is a
+    no-op — the fixpoint property a scheduled re-curation run relies on."""
+    docs = dict(HANDCRAFTED)
+    docs.update({10 + i: f"footer\npage {i}" for i in range(6)})
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    once = line_dedup(df, min_docs=3)
+    again = line_dedup(
+        once.select("doc_id", once["clean_text"].alias("text")), min_docs=3
+    ).collect()
+    assert all(r["n_removed"] == 0 for r in again)
+    first = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    second = {r["doc_id"]: r["clean_text"] for r in again}
+    assert first == second
