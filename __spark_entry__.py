@@ -989,6 +989,38 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(lined_corpus(spark, sf_dir), min_docs=25)
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup detection: the corpus originals are the
+    STORED index, the synthesized copies are the arriving increment;
+    increment bands probe the index with one (band, sig) equi-join and
+    exact-Jaccard verify against the stored arrays.  Oracle = brute
+    pairs restricted to the old/new boundary (LSH misses a 0.6-Jaccard
+    pair with prob ~6e-7 — same equality-in-expectation contract as the
+    jaccard_pairs row)."""
+    from dhtmlparser3_spark.functions import dedup as dd
+
+    old = dd.dedup_corpus(spark, sf_dir).where(
+        F.col("doc_id") < dd.NEAR_DUP_OFFSET
+    )
+    new = dd.dedup_corpus(spark, sf_dir).where(
+        F.col("doc_id") >= dd.NEAR_DUP_OFFSET
+    )
+    old_arr = dd.shingle_arrays(old).persist()
+    new_arr = dd.shingle_arrays(new).persist()
+    bands, _ = dd.lsh_index(old, arrays=old_arr)
+    res = dd.incremental_lsh_pairs(
+        new, bands, old_arr, tau_pct=60, new_arrays=new_arr
+    ).select(
+        F.col("b_id").alias("old_id"),
+        F.col("a_id").alias("new_id"),
+        "jacc_pct",
+    )
+    out = spark.createDataFrame(res.collect(), res.schema)
+    old_arr.unpersist()
+    new_arr.unpersist()
+    return out
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2021) over the dedup corpus:
     every 8-token sequence occurring >=2 times corpus-wide is cut from
@@ -1577,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "lm_quality": _q_lm_quality,
         "dup_spans": _q_dup_spans,
+        "incremental_dedup": _q_incremental_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1868,6 +1901,18 @@ def _sql_lm_quality() -> str:
                        THEN 'middle'
                   ELSE 'tail' END AS lm_bucket
       FROM scored
+    """
+
+
+def _sql_incremental_dedup(tau_pct: int = 60) -> str:
+    """Cross-boundary restriction of the brute pair set: originals
+    (ids < offset) are the stored index, copies are the increment."""
+    from dhtmlparser3_spark.functions import dedup as dd
+
+    return f"""
+      WITH p AS ({_jaccard_pairs_sql(tau_pct)})
+      SELECT a_id AS old_id, b_id AS new_id, jacc_pct FROM p
+      WHERE a_id < {dd.NEAR_DUP_OFFSET} AND b_id >= {dd.NEAR_DUP_OFFSET}
     """
 
 
@@ -2414,6 +2459,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _sql_line_dedup(),
         "lm_quality": _sql_lm_quality(),
         "dup_spans": _sql_dup_spans(),
+        "incremental_dedup": _sql_incremental_dedup(),
         # brute and LSH+verify must produce the IDENTICAL pair set (see
         # dedup.py) — the oracle asserts the same pairs once per label
         "jaccard_pairs": f"""

@@ -229,14 +229,19 @@ def _pair_jaccard(shingles: DataFrame, confirm_strings: bool = False) -> DataFra
     )
 
 
-def _verify_candidates(arrays: DataFrame, candidates: DataFrame) -> DataFrame:
+def _verify_candidates(
+    arrays: DataFrame, candidates: DataFrame, arrays_b: DataFrame = None
+) -> DataFrame:
     """Exact Jaccard for candidate pairs only, via native array_intersect on
     the per-doc shingle arrays — O(|candidates| x shingles-per-doc), no
     shingle-level self-join, no extra distinct/groupBy shuffles.  AQE
     broadcasts the candidate side when it is small (the common case: LSH
-    candidates ≈ true near-dups)."""
+    candidates ≈ true near-dups).  ``arrays_b`` supplies the b-side from a
+    different table (the incremental new-vs-index case)."""
     a = arrays.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs"))
-    b = arrays.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs"))
+    b = (arrays_b if arrays_b is not None else arrays).select(
+        F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs")
+    )
     j = candidates.join(a, "a_id").join(b, "b_id")
     inter = F.size(F.array_intersect("a_shs", "b_shs"))
     na, nb = F.size("a_shs"), F.size("b_shs")
@@ -436,6 +441,30 @@ def minhash_signatures(
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def _bands_from_sig(
+    sig: DataFrame, num_perm: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, sig): each signature folded into b = num_perm/r
+    band hashes — the LSH bucket keys.  Shared by the batch pair finder
+    and the incremental index so banding can never diverge between them
+    (divergent banding would silently zero incremental recall)."""
+    n_bands = num_perm // rows_per_band
+    band_rows = []
+    for band in range(n_bands):
+        cols = [f"m{band * rows_per_band + r}" for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("sig"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -465,20 +494,9 @@ def minhash_lsh_pairs(
     sh = arrays.select(
         "doc_id", F.explode_outer("shs").alias("sh")
     ).where(F.col("sh").isNotNull())
-    sig = minhash_signatures(sh, num_perm)
-    n_bands = num_perm // rows_per_band
-    band_rows = []
-    for band in range(n_bands):
-        cols = [f"m{band * rows_per_band + r}" for r in range(rows_per_band)]
-        band_rows.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("sig"),
-            )
-        )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    banded = _bands_from_sig(
+        minhash_signatures(sh, num_perm), num_perm, rows_per_band
+    )
     # bucket-group candidate generation: ONE pass over the signatures (a
     # self-join would evaluate the whole signature pipeline twice unless the
     # exchange is reused), quadratic only WITHIN a bucket — bucket size is
@@ -887,4 +905,99 @@ def dup_spans(
         clean.alias("clean_text"),
         n.cast("int").alias("n_tokens"),
         (n - n_kept).cast("int").alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup detection against a stored corpus index
+#
+# At 10^12 docs the all-pairs run is rare; the production-common operation
+# is "a new crawl increment arrives — which of its docs near-duplicate
+# something we ALREADY HOLD?"  Re-running minhash_lsh_pairs over
+# (corpus ∪ increment) re-shingles and re-buckets the full corpus for
+# every increment.  Instead: publish the corpus's LSH index ONCE
+# (lsh_index — the (doc_id, band, sig) bucket keys plus the per-doc
+# shingle arrays for exact verification; both are ordinary tables a job
+# writes to parquet/Iceberg partitioned by band), then each increment
+# runs incremental_lsh_pairs: band the NEW docs only and equi-join
+# against the stored keys.  Cost scales with the increment, not the
+# corpus — the corpus side moves nothing but its matching index rows.
+#
+# Correctness identity (pinned in test_incremental_dedup.py): banding is
+# deterministic per doc, so with caps disabled
+#
+#   pairs(old ∪ new) == pairs(old) ∪ pairs(new)
+#                     ∪ incremental(new, index(old))
+#
+# i.e. the incremental path finds exactly the cross pairs the batch run
+# would have found.
+# ---------------------------------------------------------------------------
+
+
+def lsh_index(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    arrays: DataFrame = None,
+):
+    """(bands, arrays): the publishable LSH index of a corpus.
+
+    ``bands`` = (doc_id, band, sig) bucket keys; ``arrays`` = (doc_id,
+    shs) distinct-shingle sets for exact verification.  Persist or write
+    both; at scale partition ``bands`` by band so an increment's probe
+    join co-locates per band."""
+    if arrays is None:
+        arrays = shingle_arrays(df, n, id_col)
+    sh = arrays.select(
+        "doc_id", F.explode_outer("shs").alias("sh")
+    ).where(F.col("sh").isNotNull())
+    bands = _bands_from_sig(
+        minhash_signatures(sh, num_perm), num_perm, rows_per_band
+    )
+    return bands, arrays
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    index_arrays: DataFrame,
+    n: int = 3,
+    tau_pct: int = 60,
+    num_perm: int = 64,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    new_arrays: DataFrame = None,
+) -> DataFrame:
+    """(a_id=new doc, b_id=indexed doc, jacc_pct) for cross near-dups.
+
+    The increment is banded with the SAME _bands_from_sig the index was
+    built with and probes the stored keys with one (band, sig) equi-join
+    — no self-join, no corpus re-shingling.  Ids must be disjoint
+    between increment and index (fresh doc_ids per crawl — the a!=b
+    guard only protects against re-submitting an indexed doc).  Exact
+    Jaccard verification reads the increment's arrays for the a-side
+    and the STORED arrays for the b-side."""
+    if new_arrays is None:
+        new_arrays = shingle_arrays(new_df, n, id_col).persist()
+    new_bands, _ = lsh_index(
+        new_df, n, num_perm, rows_per_band, id_col, arrays=new_arrays
+    )
+    cand = (
+        new_bands.select(
+            F.col("doc_id").alias("a_id"), "band", "sig"
+        )
+        .join(
+            index_bands.select(
+                F.col("doc_id").alias("b_id"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verify_candidates(new_arrays, cand, arrays_b=index_arrays).where(
+        F.col("jacc_pct") >= tau_pct
     )
