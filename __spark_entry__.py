@@ -457,16 +457,6 @@ def _q_selector_counts(spark, sf_dir):
     return out
 
 
-def _q_quality(spark, sf_dir):
-    from dhtmlparser3_spark.functions.textops import with_quality
-
-    docs = _docs(spark, sf_dir)
-    return with_quality(docs).select(
-        "doc_id", "n_chars", "n_tokens", "n_stopwords", "n_punct", "n_alpha",
-        "quality",
-    )
-
-
 NFC_MOD = 13  # doc_id % 13 == 0 rows get a decomposed-accent suffix
 
 
@@ -481,6 +471,7 @@ def _q_text_features(spark, sf_dir):
     from dhtmlparser3_spark.functions.textops import (
         nfc_normalize_col,
         with_lang_id,
+        with_quality,
         with_token_count,
     )
 
@@ -498,6 +489,15 @@ def _q_text_features(spark, sf_dir):
         "hits_fr",
         "lang_pred",
         nfc_normalize_col("nfc_src").alias("nfc_text"),
+    ).join(
+        # quality-score columns ride the same per-doc row (keeps the
+        # driver's 50-row budget: formerly the standalone quality_score
+        # row; n_tokens identical by construction, joined once)
+        with_quality(docs).select(
+            "doc_id", "n_chars", "n_stopwords", "n_punct", "n_alpha",
+            "quality",
+        ),
+        "doc_id",
     )
 
 
@@ -921,7 +921,16 @@ def _q_quality_signals(spark, sf_dir):
     pii = with_pii_counts(pii_corpus(docs)).select(
         "doc_id", "n_emails", "n_urls", "n_digit_runs"
     )
-    return rep.join(pii, "doc_id")
+    # LM quality columns ride the same per-doc row (keeps the driver's
+    # 50-row budget: formerly the standalone lm_quality row) — bigram
+    # model on the deterministic doc_id%10<3 reference slice, integer
+    # micro-nat scores, head/middle/tail buckets (functions/lm.py)
+    from dhtmlparser3_spark.functions.lm import lm_quality
+
+    lm = lm_quality(docs).select(
+        "doc_id", "n_bigrams", "sum_lp_micro", "lm_bucket"
+    )
+    return rep.join(pii, "doc_id").join(lm, "doc_id")
 
 
 def _q_url_ops(spark, sf_dir):
@@ -968,92 +977,82 @@ def _q_exact_dups(spark, sf_dir):
     return exact_dup_groups(dedup_corpus(spark, sf_dir))
 
 
-def _q_lm_quality(spark, sf_dir):
-    """CCNet-style LM quality tier: bigram model trained on the
-    deterministic doc_id%10<3 reference slice, every doc scored with
-    exact integer micro-nat log-probs and bucketed head/middle/tail
-    (thresholds in integer cross-multiplied form — reduction-order-proof,
-    reproduced bit-exactly by the DuckDB oracle)."""
-    from dhtmlparser3_spark.functions.lm import lm_quality
-
-    return lm_quality(_docs(spark, sf_dir))
-
-
 def _q_line_dedup(spark, sf_dir):
-    """Cross-document line dedup (CCNet/RefinedWeb boilerplate-line
-    removal) over the lined corpus: every occurrence of any line present
-    in >= 25 distinct docs is dropped, docs reassembled in line order.
-    Full text crosses exactly one exchange (see dedup.py line_dedup)."""
-    from dhtmlparser3_spark.functions.dedup import line_dedup, lined_corpus
+    """Both text-cleanup dedup tiers in ONE labeled row (50-row budget):
 
-    return line_dedup(lined_corpus(spark, sf_dir), min_docs=25)
+    * method='line' — cross-document line dedup (CCNet/RefinedWeb
+      boilerplate-line removal) over the lined corpus: every occurrence
+      of any line present in >= 25 distinct docs dropped, docs
+      reassembled in line order;
+    * method='span' — exact-substring dedup (Lee et al. 2021) over the
+      dedup corpus: every 8-token sequence occurring >= 2 times
+      corpus-wide cut from all docs.
 
-
-def _q_incremental_dedup(spark, sf_dir):
-    """Incremental near-dup detection: the corpus originals are the
-    STORED index, the synthesized copies are the arriving increment;
-    increment bands probe the index with one (band, sig) equi-join and
-    exact-Jaccard verify against the stored arrays.  Oracle = brute
-    pairs restricted to the old/new boundary (LSH misses a 0.6-Jaccard
-    pair with prob ~6e-7 — same equality-in-expectation contract as the
-    jaccard_pairs row)."""
-    from dhtmlparser3_spark.functions import dedup as dd
-
-    old = dd.dedup_corpus(spark, sf_dir).where(
-        F.col("doc_id") < dd.NEAR_DUP_OFFSET
+    In both, the counting side moves 128-bit keys only and the full text
+    crosses exactly one exchange (dedup.py line_dedup / dup_spans;
+    plan-pinned in test_line_dedup.py / test_dup_spans.py)."""
+    from dhtmlparser3_spark.functions.dedup import (
+        dedup_corpus,
+        dup_spans,
+        line_dedup,
+        lined_corpus,
     )
-    new = dd.dedup_corpus(spark, sf_dir).where(
-        F.col("doc_id") >= dd.NEAR_DUP_OFFSET
+
+    line = line_dedup(lined_corpus(spark, sf_dir), min_docs=25).select(
+        F.lit("line").alias("method"),
+        "doc_id",
+        "clean_text",
+        F.col("n_lines").alias("n_units"),
+        "n_removed",
     )
-    old_arr = dd.shingle_arrays(old).persist()
-    new_arr = dd.shingle_arrays(new).persist()
-    bands, _ = dd.lsh_index(old, arrays=old_arr)
-    res = dd.incremental_lsh_pairs(
-        new, bands, old_arr, tau_pct=60, new_arrays=new_arr
-    ).select(
-        F.col("b_id").alias("old_id"),
-        F.col("a_id").alias("new_id"),
-        "jacc_pct",
+    span = dup_spans(dedup_corpus(spark, sf_dir), k=8, min_occ=2).select(
+        F.lit("span").alias("method"),
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").alias("n_units"),
+        "n_removed",
     )
-    out = spark.createDataFrame(res.collect(), res.schema)
-    old_arr.unpersist()
-    new_arr.unpersist()
-    return out
-
-
-def _q_dup_spans(spark, sf_dir):
-    """Exact-substring dedup (Lee et al. 2021) over the dedup corpus:
-    every 8-token sequence occurring >=2 times corpus-wide is cut from
-    all docs.  Positional k-gram hashes shuffle; text crosses one
-    exchange (see dedup.py dup_spans)."""
-    from dhtmlparser3_spark.functions.dedup import dedup_corpus, dup_spans
-
-    return dup_spans(dedup_corpus(spark, sf_dir), k=8, min_occ=2)
+    return line.unionByName(span)
 
 
 def _q_jaccard_pairs(spark, sf_dir):
     """Brute-force n-gram Jaccard (the quadratic small-scale baseline and
     verifier) AND MinHash+LSH (the shipped bucket-grouped scale path) over
     the same dedup corpus, labeled by method — their pair sets must be
-    IDENTICAL, which the shared oracle asserts once per label."""
-    from dhtmlparser3_spark.functions.dedup import (
-        dedup_corpus,
-        jaccard_pairs,
-        minhash_lsh_pairs,
-        shingle_arrays,
-    )
+    IDENTICAL, which the shared oracle asserts once per label — AND the
+    incremental-index probe (method='incremental'): the corpus originals
+    are the STORED index, the synthesized copies the arriving increment;
+    increment bands probe the index with one (band, sig) equi-join and
+    exact-Jaccard verify against the stored arrays.  Its oracle = brute
+    pairs restricted to the old/new boundary (LSH misses a 0.6-Jaccard
+    pair with prob ~6e-7 — equality-in-expectation, as for 'lsh')."""
+    from dhtmlparser3_spark.functions import dedup as dd
 
-    corpus = dedup_corpus(spark, sf_dir)
-    # ONE shingle pass feeds both methods (each would otherwise persist
-    # its own copy of the same UDF output)
-    arrays = shingle_arrays(corpus, n=3).persist()
-    brute = jaccard_pairs(corpus, n=3, tau_pct=60, arrays=arrays).withColumn(
-        "method", F.lit("brute")
-    )
-    lsh = minhash_lsh_pairs(
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    # ONE shingle pass feeds all three methods (each would otherwise
+    # persist its own copy of the same UDF output); the incremental
+    # old/new sides are filters over the same cached table
+    arrays = dd.shingle_arrays(corpus, n=3).persist()
+    brute = dd.jaccard_pairs(
+        corpus, n=3, tau_pct=60, arrays=arrays
+    ).withColumn("method", F.lit("brute"))
+    lsh = dd.minhash_lsh_pairs(
         corpus, n=3, tau_pct=60, arrays=arrays
     ).withColumn("method", F.lit("lsh"))
-    res = brute.unionByName(lsh)
+    is_new = F.col("doc_id") >= dd.NEAR_DUP_OFFSET
+    old_arr = arrays.where(~is_new)
+    new_arr = arrays.where(is_new)
+    bands, _ = dd.lsh_index(corpus.where(~is_new), arrays=old_arr)
+    inc = dd.incremental_lsh_pairs(
+        corpus.where(is_new), bands, old_arr, tau_pct=60, new_arrays=new_arr
+    ).select(
+        # incremental emits (a=new, b=old); relabel to the row's a<b
+        # orientation (originals sit below the copy-id offset)
+        F.col("b_id").alias("a_id"),
+        F.col("a_id").alias("b_id"),
+        "jacc_pct",
+    ).withColumn("method", F.lit("incremental"))
+    res = brute.unionByName(lsh).unionByName(inc)
     # near-dup pairs are a tiny fraction of the corpus: snapshot them and
     # RELEASE the persisted shingle table deterministically rather than
     # pinning one cached copy per invocation (round-4 review)
@@ -1577,7 +1576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries are consolidated into composite rows (extract_serializations,
     selector_counts, text_features, quality_signals, url_ops,
     host_curation, jaccard_pairs, media_*, pdf_parse) — each constituent
-    operator keeps its oracle inside the merged row.  The two approximate
+    operator keeps its oracle inside the merged row.  Round-5 additions
+    merged the same way: quality_score rides text_features, LM quality
+    (functions/lm.py) rides quality_signals, span dedup rides line_dedup
+    (method='line'/'span'), and the incremental index probe rides
+    jaccard_pairs (method='incremental').  The two approximate
     entries (ann_lsh/ann_ivf) sit LAST; since round 5 they return exact
     per-query invariant summaries and are fully oracled, with recall
     pinned by the green oracled ann_recall row."""
@@ -1589,7 +1592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_tag_counts": _q_node_tag_counts,
         "spans_summary": _q_spans_summary,
         "selector_counts": _q_selector_counts,
-        "quality_score": _q_quality,
         "text_features": _q_text_features,
         "sketch_stats": _q_sketch_stats,
         "source_mix": _q_source_mix,
@@ -1607,9 +1609,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "exact_dups": _q_exact_dups,
         "line_dedup": _q_line_dedup,
-        "lm_quality": _q_lm_quality,
-        "dup_spans": _q_dup_spans,
-        "incremental_dedup": _q_incremental_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1904,16 +1903,26 @@ def _sql_lm_quality() -> str:
     """
 
 
-def _sql_incremental_dedup(tau_pct: int = 60) -> str:
-    """Cross-boundary restriction of the brute pair set: originals
-    (ids < offset) are the stored index, copies are the increment."""
+def _dd_offset() -> int:
     from dhtmlparser3_spark.functions import dedup as dd
 
+    return dd.NEAR_DUP_OFFSET
+
+
+def _sql_line_dedup_combined() -> str:
+    """Labeled union of the line-dedup and span-dedup oracles on the
+    shared (method, doc_id, clean_text, n_units, n_removed) schema."""
     return f"""
-      WITH p AS ({_jaccard_pairs_sql(tau_pct)})
-      SELECT a_id AS old_id, b_id AS new_id, jacc_pct FROM p
-      WHERE a_id < {dd.NEAR_DUP_OFFSET} AND b_id >= {dd.NEAR_DUP_OFFSET}
+      SELECT 'line' AS method, doc_id, clean_text,
+             n_lines AS n_units, n_removed
+      FROM ({_sql_line_dedup()})
+      UNION ALL
+      SELECT 'span' AS method, doc_id, clean_text,
+             n_tokens AS n_units, n_removed
+      FROM ({_sql_dup_spans()})
     """
+
+
 
 
 def _sql_dup_spans(k: int = 8, min_occ: int = 2) -> str:
@@ -2128,14 +2137,15 @@ def _sql_text_features() -> str:
                ) AS nfc_text
         FROM documents
       )
-      SELECT doc_id, n_tokens::INT AS n_tokens,
+      SELECT base.doc_id, base.n_tokens::INT AS n_tokens,
              hits_en::INT AS hits_en, hits_de::INT AS hits_de,
              hits_fr::INT AS hits_fr,
              CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
                   WHEN hits_de >= hits_fr THEN 'de'
                   ELSE 'fr' END AS lang_pred,
-             nfc_text
-      FROM base
+             nfc_text,
+             q.n_chars, q.n_stopwords, q.n_punct, q.n_alpha, q.quality
+      FROM base JOIN ({_sql_quality()}) q USING (doc_id)
     """
 
 
@@ -2291,10 +2301,6 @@ def oracle_sql() -> dict[str, str]:
           FROM documents WHERE doc_id % 5 = 4
         """,
         "text_features": _sql_text_features(),
-        "quality_score": (
-            "SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct, "
-            f"n_alpha, quality FROM ({_sql_quality()})"
-        ),
         "sketch_stats": f"""
           SELECT CAST(count(DISTINCT doc_id % 97) AS BIGINT) AS hosts_exact,
                  1 AS hll_within_5pct,
@@ -2447,25 +2453,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_signals": f"""
           WITH rep AS ({_sql_rep_filters()}),
-          pii AS ({_sql_pii_counts()})
+          pii AS ({_sql_pii_counts()}),
+          lm AS ({_sql_lm_quality()})
           SELECT rep.doc_id, rep.pct_dup_tokens, rep.pct_top_2gram,
                  rep.pct_top_3gram, pii.n_emails, pii.n_urls,
-                 pii.n_digit_runs
+                 pii.n_digit_runs, lm.n_bigrams, lm.sum_lp_micro,
+                 lm.lm_bucket
           FROM rep JOIN pii ON rep.doc_id = pii.doc_id
+          JOIN lm ON rep.doc_id = lm.doc_id
         """,
         "url_ops": _sql_url_ops(),
                 "fingerprints": _sql_fingerprints(),
         "exact_dups": _sql_exact_dups(),
-        "line_dedup": _sql_line_dedup(),
-        "lm_quality": _sql_lm_quality(),
-        "dup_spans": _sql_dup_spans(),
-        "incremental_dedup": _sql_incremental_dedup(),
+        "line_dedup": _sql_line_dedup_combined(),
         # brute and LSH+verify must produce the IDENTICAL pair set (see
-        # dedup.py) — the oracle asserts the same pairs once per label
+        # dedup.py) — the oracle asserts the same pairs once per label;
+        # 'incremental' (index probe) must find exactly the cross pairs
+        # over the old/new boundary (originals < copy-id offset)
         "jaccard_pairs": f"""
           WITH p AS ({_jaccard_pairs_sql(60)})
           SELECT m.method, p.a_id, p.b_id, p.jacc_pct
           FROM p CROSS JOIN (SELECT unnest(['brute', 'lsh']) AS method) m
+          UNION ALL
+          SELECT 'incremental' AS method, a_id, b_id, jacc_pct FROM p
+          WHERE a_id < {_dd_offset()} AND b_id >= {_dd_offset()}
         """,
         "simhash": _sql_simhash(),
         "outlinks": _sql_outlinks(),
