@@ -749,6 +749,13 @@ def line_dedup(
     set is small (a few million boilerplate lines); the default shuffle
     join is the safe choice when min_docs is low and the dup set can be a
     meaningful fraction of all distinct lines.
+
+    Skew: the dup keys ARE the skewed keys (a footer line in 10^9 docs
+    sends its (doc, line_no) rows to one reducer in the drop-list join).
+    The counting side is immune — two-phase partial aggregation bounds
+    any key to one partial row per partition — and the join is covered by
+    AQE's skew-join split on this repo's session config; broadcast mode
+    removes the join shuffle entirely.
     """
     keyed = _line_keys(df, id_col, text_col)
     dup_keys = (
@@ -851,6 +858,7 @@ def dup_spans(
     min_occ: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_dups: bool = False,
 ) -> DataFrame:
     """Cut every duplicated >=k-token span: (id, clean_text, n_tokens,
     n_removed).
@@ -860,6 +868,15 @@ def dup_spans(
     ONE doc is duplicated text too, per the paper).  Docs shorter than k
     tokens are untouched; a doc that is entirely duplicated text comes
     back with clean_text = ''.
+
+    Skew: the dup keys ARE the skewed keys — a k-gram occurring 10^9
+    times sends all its (doc, pos) rows to one reducer in the marking
+    join.  The counting aggregate is immune (two-phase partial counts,
+    bounded per partition), and the join is covered by AQE's skew-join
+    split on this repo's session config; ``broadcast_dups=True`` removes
+    the join shuffle entirely when the duplicated-key set fits a
+    broadcast (high min_occ / bounded boilerplate), same contract as
+    line_dedup's flag.
     """
     toks = tokens_col(text_col)
     n = F.size(toks)
@@ -885,6 +902,8 @@ def dup_spans(
         .where(F.col("n_occ") >= min_occ)
         .select("h")
     )
+    if broadcast_dups:
+        dup = F.broadcast(dup)
     marked = (
         pos.join(dup, "h")
         .groupBy(id_col)

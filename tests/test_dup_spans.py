@@ -142,3 +142,21 @@ def test_curate_composition_span_stage(spark):
     assert got["http://h/a"] == base["http://h/a"] - n_shared
     assert got["http://h/b"] == base["http://h/b"] - n_shared
     assert got["http://h/c"] == base["http://h/c"]
+
+
+@pytest.mark.spark
+def test_dup_spans_broadcast_mode_agrees(spark):
+    """broadcast_dups changes the physical join, never the rows."""
+    df = spark.createDataFrame(
+        list(HANDCRAFTED.items()), "doc_id int, text string"
+    )
+    a = sorted(map(tuple, dup_spans(df, k=8, min_occ=2).collect()))
+    b = sorted(
+        map(tuple, dup_spans(df, k=8, min_occ=2, broadcast_dups=True).collect())
+    )
+    assert a == b
+    plan = (
+        dup_spans(df, k=8, broadcast_dups=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -241,3 +241,21 @@ def test_line_dedup_idempotent(spark):
     first = {r["doc_id"]: r["clean_text"] for r in once.collect()}
     second = {r["doc_id"]: r["clean_text"] for r in again}
     assert first == second
+
+
+@pytest.mark.spark
+def test_line_dedup_broadcast_mode_agrees(spark):
+    """broadcast_dups changes the physical join, never the rows."""
+    df = spark.createDataFrame(
+        list(HANDCRAFTED.items()), "doc_id int, text string"
+    )
+    a = sorted(map(tuple, line_dedup(df, min_docs=2).collect()))
+    b = sorted(
+        map(tuple, line_dedup(df, min_docs=2, broadcast_dups=True).collect())
+    )
+    assert a == b
+    plan = (
+        line_dedup(df, min_docs=2, broadcast_dups=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
