@@ -645,7 +645,8 @@ def simhash_pairs(
 # as md5 (128-bit).  xxhash64 would halve the shuffle bytes, but 64-bit
 # keys birthday-collide at 10^12-position scale (~3% chance of one false
 # merge corpus-wide); 128-bit makes that ~1e-14 — correctness first, and
-# the keys are still ~4x narrower than typical line text.
+# the 16-byte binary keys (unhex(md5)) are still ~4x narrower than
+# typical line text and half the width of md5's hex form.
 #
 # Design for 10^12 docs: the full text crosses the wire exactly ONCE (the
 # final doc_id join).  Everything before that moves 16-byte md5 keys only:
@@ -727,7 +728,7 @@ def _line_keys(
             ),
         )
         .where(F.trim("line") != "")
-        .select(id_col, "line_no", F.md5(norm).alias("line_key"))
+        .select(id_col, "line_no", F.unhex(F.md5(norm)).alias("line_key"))
     )
 
 
@@ -881,15 +882,15 @@ def dup_spans(
     toks = tokens_col(text_col)
     n = F.size(toks)
     pos_structs = F.when(
-        n < k, F.array().cast("array<struct<pos:int,h:string>>")
+        n < k, F.array().cast("array<struct<pos:int,h:binary>>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), n - k),
             lambda p: F.struct(
                 p.cast("int").alias("pos"),
-                F.md5(F.array_join(F.slice(toks, p + 1, k), " ")).alias(
-                    "h"
-                ),
+                F.unhex(
+                    F.md5(F.array_join(F.slice(toks, p + 1, k), " "))
+                ).alias("h"),
             ),
         )
     )
