@@ -144,3 +144,21 @@ def test_spark_bpe_plans(spark):
     aplan = apply_bpe(docs, merges)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in aplan, aplan  # apply is map-only
     assert "ArrowEvalPython" in aplan, aplan
+
+
+@pytest.mark.spark
+def test_top_words_cut_deterministic_on_ties(spark):
+    """The top-K collect orders by (n desc, word), so a count tie
+    straddling the cut is resolved identically on every partitioning —
+    the cross-cluster-determinism claim at its sharpest point."""
+    rows = [("aa", 5), ("ab", 5), ("ac", 5), ("ad", 5), ("ae", 5)]
+    base = spark.createDataFrame(rows, "word string, n long")
+    m1 = train_bpe(base, num_merges=4, top_words=3)
+    m2 = train_bpe(base.repartition(7), num_merges=4, top_words=3)
+    m3 = train_bpe(base.orderBy(F.rand(42)), num_merges=4, top_words=3)
+    assert m1 == m2 == m3
+    # the cut keeps aa/ab/ac (lexicographic among equal counts): every
+    # merge's joined symbols must come from those words only
+    kept_chars = set("aabc")
+    for a, b in m1:
+        assert set(a + b) <= kept_chars, (a, b)
